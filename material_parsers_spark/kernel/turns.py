@@ -1,0 +1,190 @@
+"""Per-turn extraction kernel: text -> (tokens, spans, materials).
+
+The single pure function the Spark layer lifts into an Arrow-batched pandas
+UDF (SURVEY.md §3.1 re-expression). Tokenizes ONCE and reuses the token
+array across tagging, clustering, extraction and linking (manual CSE — the
+reference re-tokenizes per stage, `material_parser_ml.py:53` +
+`linking_module.py:335`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from .doc import build_doc, compute_span_id, convert_tokens, span_to_dict
+from .formulas import formula_to_composition, name_to_formula
+from .gazetteer import TokenTrieMatcher
+from .linker import RuleBasedLinker
+from .materials import extract_results
+from .tagger import tag_spans
+from .tc_classifier import mark_linkable_temperatures
+from .tokenizer import tokenize
+
+LINK_CONFIGS = [
+    ("<tcValue>", "<material>"),
+    ("<tcValue>", "<pressure>"),
+]
+
+# span types whose surface text feeds the material state machine
+MATERIAL_LABELS = {"<formula>", "<name>", "<doping>", "<shape>",
+                   "<fabrication>", "<substrate>", "<variable>", "<value>"}
+
+
+def extract_turn(text: Optional[str],
+                 matcher: Optional[TokenTrieMatcher] = None) -> dict:
+    """Full extraction for one turn; deterministic, no I/O."""
+    if not text:
+        return {"tokens": [], "spans": [], "materials": []}
+
+    tokens, offsets = tokenize(text)
+
+    # dictionary matches first — they are longest-match, curated entries and
+    # take precedence over the heuristic tagger on overlap
+    spans: List[dict] = []
+    if matcher is not None:
+        for ent in matcher.match(text):
+            token_ids = [i for i in range(len(tokens))
+                         if offsets[i][0] >= ent["start"]
+                         and offsets[i][1] <= ent["end"]]
+            if not token_ids:
+                continue
+            spans.append({
+                "text": ent["text"],
+                "type": ent["label"],
+                "offset_start": ent["start"],
+                "offset_end": ent["end"],
+                "token_start": token_ids[0],
+                "token_end": token_ids[-1] + 1,
+                "linkable": False,
+            })
+
+    occupied = [(s["offset_start"], s["offset_end"]) for s in spans]
+    for span in tag_spans(tokens, offsets, text):
+        if any(span["offset_start"] < e and s < span["offset_end"]
+               for s, e in occupied):
+            continue
+        spans.append(span)
+
+    spans.sort(key=lambda s: s["offset_start"])
+    for span in spans:
+        span["id"] = compute_span_id(
+            span["text"], span["type"], span["offset_start"],
+            span["offset_end"], span["token_start"], span["token_end"])
+        span["links"] = []
+
+    # ---- material records (SURVEY §3.1): clusters -> state machine
+    clusters = [
+        {"text": str.strip(s["text"]), "class": s["type"]}
+        for s in spans if s["type"] in MATERIAL_LABELS
+    ]
+    materials = extract_results(
+        [clusters],
+        formula_to_composition=formula_to_composition,
+        name_to_formula=name_to_formula,
+    )[0]
+    if isinstance(materials, dict):  # empty-example sentinel
+        materials = []
+
+    # ---- linking (SURVEY §3.2): classify tcValues, then link per config
+    token_dicts = [
+        {"text": tokens[i], "offset_start": offsets[i][0],
+         "offset_end": offsets[i][1], "token_start": i, "token_end": i + 1}
+        for i in range(len(tokens))
+    ]
+
+    import copy as _copy
+    work_spans = _copy.deepcopy(spans)
+    words, spaces, remapped = convert_tokens(
+        [dict(t) for t in token_dicts], work_spans)
+    doc = build_doc(words, spaces, remapped)
+    doc = mark_linkable_temperatures(doc)
+    linkable_by_id = {t.id: t.linkable for t in doc if t.ent_type}
+
+    for span in spans:
+        if str(span["id"]) in linkable_by_id:
+            span["linkable"] = bool(linkable_by_id[str(span["id"])])
+
+    for source_type, destination_type in LINK_CONFIGS:
+        config_spans = _copy.deepcopy(spans)
+        for span in config_spans:
+            # the ML tagger emits <formula>/<name>; for linking they play
+            # the <material> role (the reference receives <material> spans
+            # from its upstream NER — service.py:102-119)
+            if destination_type == "<material>" and \
+                    span["type"] in ("<formula>", "<name>"):
+                span["type"] = "<material>"
+            if span["type"] == destination_type:
+                span["linkable"] = True
+        linker = RuleBasedLinker(source=source_type,
+                                 destination=destination_type)
+        results = linker.process(
+            text, config_spans, [dict(t) for t in token_dicts])
+        for result in results:
+            for out_span in result.get("spans", []):
+                if not out_span.get("links"):
+                    continue
+                for span in spans:
+                    if str(span["id"]) == str(out_span["id"]):
+                        for link in out_span["links"]:
+                            if link not in span["links"]:
+                                span["links"].append(link)
+
+    out_tokens = [
+        {"text": tokens[i], "start": offsets[i][0], "end": offsets[i][1]}
+        for i in range(len(tokens))
+    ]
+    out_spans = [
+        {
+            "id": str(s["id"]),
+            "text": s["text"],
+            "type": s["type"],
+            "offset_start": s["offset_start"],
+            "offset_end": s["offset_end"],
+            "token_start": s["token_start"],
+            "token_end": s["token_end"],
+            "linkable": bool(s.get("linkable", False)),
+            "links": [
+                {
+                    "targetId": str(l.get("targetId")),
+                    "targetText": l.get("targetText"),
+                    "targetType": l.get("targetType"),
+                    "type": l.get("type"),
+                }
+                for l in s["links"]
+            ],
+        }
+        for s in spans
+    ]
+    out_materials = [_material_row(m) for m in materials]
+
+    return {"tokens": out_tokens, "spans": out_spans,
+            "materials": out_materials}
+
+
+def _material_row(material: dict) -> dict:
+    material = dict(material)
+    formula = material.get("formula")
+    formula_row = None
+    if formula:
+        formula_row = {
+            "rawValue": formula.get("rawValue"),
+            "formulaComposition": formula.get("formulaComposition"),
+        }
+    resolved = [
+        {
+            "rawValue": f.get("rawValue"),
+            "formulaComposition": f.get("formulaComposition"),
+        }
+        for f in material.get("resolvedFormulas") or []
+    ]
+    variables = material.get("variables") or None
+    return {
+        "formula": formula_row,
+        "name": material.get("name"),
+        "doping": material.get("doping"),
+        "shape": material.get("shape"),
+        "fabrication": material.get("fabrication"),
+        "substrate": material.get("substrate"),
+        "variables": variables,
+        "resolvedFormulas": resolved or None,
+    }

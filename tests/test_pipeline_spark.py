@@ -1,0 +1,153 @@
+"""Spark pipeline tests: per-turn parity with the pure kernel, stable
+ordering, skew-safe aggregation, checkpoint/resume."""
+
+import json
+import shutil
+import tempfile
+
+import pytest
+
+from material_parsers_spark.kernel.gazetteer import TokenTrieMatcher
+from material_parsers_spark.kernel.turns import extract_turn
+from material_parsers_spark.pipeline.checkpoint import run_with_checkpoint
+from material_parsers_spark.pipeline.extraction import (
+    build_default_patterns,
+    ordered_output,
+    run_extraction,
+    span_counts_per_conversation,
+)
+from material_parsers_spark.pipeline.session import build_session
+from material_parsers_spark.pipeline.transcripts import generate_turns
+
+N_TURNS = 300
+
+
+@pytest.fixture(scope="module")
+def spark():
+    session = build_session(app_name="pipeline-tests", master="local[4]",
+                            shuffle_partitions=8)
+    yield session
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return generate_turns(spark, N_TURNS, partitions=4).cache()
+
+
+def test_generator_is_deterministic(spark):
+    a = generate_turns(spark, 100, partitions=4).collect()
+    b = generate_turns(spark, 100, partitions=2).collect()
+    key = lambda r: (r.conv_id, r.turn_idx)
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_generator_schema_matches_input_hint(turns):
+    assert [(f.name, f.dataType.simpleString()) for f in turns.schema.fields] == [
+        ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+        ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+    ]
+
+
+def test_turn_idx_dense_per_conversation(turns):
+    from pyspark.sql import functions as F
+    bad = (
+        turns.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"),
+             F.min("turn_idx").alias("mn"),
+             F.countDistinct("turn_idx").alias("nd"))
+        .where((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
+               | (F.col("nd") != F.col("n")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_skew_present(spark):
+    from pyspark.sql import functions as F
+    big = generate_turns(spark, 5000, partitions=8)
+    sizes = big.groupBy("conv_id").count().collect()
+    largest = max(r["count"] for r in sizes)
+    median = sorted(r["count"] for r in sizes)[len(sizes) // 2]
+    assert largest > 3 * median  # heavy tail exists
+
+
+def test_pipeline_matches_pure_kernel_per_turn(spark, turns):
+    """The north-rule invariant: per-turn extraction equality under stable
+    (conv_id, turn_idx) ordering — Spark vs driver-side kernel."""
+    result = ordered_output(run_extraction(turns)) \
+        .orderBy("conv_id", "turn_idx").collect()
+
+    raw = turns.orderBy("conv_id", "turn_idx").collect()
+    matcher = TokenTrieMatcher(build_default_patterns())
+
+    assert len(result) == len([r for r in raw if r.text])
+    by_key = {(r.conv_id, r.turn_idx): r for r in result}
+    for row in raw:
+        expected = extract_turn(row.text, matcher)
+        got = by_key[(row.conv_id, row.turn_idx)]
+        got_spans = [s.asDict(recursive=True) for s in got.spans]
+        exp_spans = json.loads(json.dumps(expected["spans"]))
+        assert got_spans == exp_spans, (row.conv_id, row.turn_idx, row.text)
+        got_tokens = [t.asDict() for t in got.tokens]
+        assert got_tokens == expected["tokens"]
+        got_materials = [m.asDict(recursive=True) for m in got.materials]
+        exp_materials = json.loads(json.dumps(expected["materials"]))
+        assert got_materials == exp_materials
+
+
+def test_turn_rank_follows_turn_idx(spark, turns):
+    out = ordered_output(run_extraction(turns))
+    from pyspark.sql import functions as F
+    bad = out.where(F.col("turn_rank") != F.col("turn_idx") + 1).count()
+    assert bad == 0
+
+
+def test_span_counts_salted_agg_matches_direct(spark, turns):
+    from pyspark.sql import functions as F
+    extracted = run_extraction(turns).cache()
+    salted = span_counts_per_conversation(extracted, salt_buckets=8)
+    direct = (
+        extracted.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum(F.size("extraction.spans")).alias("n_spans"),
+             F.sum(F.size("extraction.materials")).alias("n_materials"))
+    )
+    assert sorted(salted.collect()) == sorted(direct.collect())
+    extracted.unpersist()
+
+
+def test_checkpoint_resume_no_duplicates(spark, turns):
+    workdir = tempfile.mkdtemp(prefix="ckpt-test-")
+    out_dir = f"{workdir}/out"
+    manifest_dir = f"{workdir}/manifest"
+    try:
+        first = run_with_checkpoint(turns, out_dir, manifest_dir,
+                                    run_id="run1", n_buckets=8)
+        assert first["turns_processed"] == N_TURNS
+        assert first["buckets_skipped"] == []
+
+        # resume: everything checkpointed -> nothing re-processed
+        second = run_with_checkpoint(turns, out_dir, manifest_dir,
+                                     run_id="run2", n_buckets=8)
+        assert second["turns_processed"] == 0
+        assert sorted(second["buckets_skipped"]) == sorted(
+            first["buckets_processed"])
+
+        # output has exactly one row per turn — no dupes, none missing
+        written = spark.read.parquet(out_dir)
+        assert written.count() == N_TURNS
+        assert written.select("conv_id", "turn_idx").distinct().count() == N_TURNS
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_plan_has_pushed_filter_and_pruned_schema(spark, turns, tmp_path):
+    """Scan-level checks: the text-notnull filter reaches the parquet scan
+    and only needed columns are read."""
+    path = str(tmp_path / "turns.parquet")
+    turns.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    pipeline = run_extraction(df).select("conv_id", "turn_idx", "extraction")
+    plan = pipeline._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(text)" in plan
+    assert "role" not in plan.split("ReadSchema")[1][:200]
