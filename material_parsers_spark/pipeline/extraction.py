@@ -89,6 +89,26 @@ def ordered_output(extracted: DataFrame) -> DataFrame:
     )
 
 
+def extract_ordered(turns: DataFrame,
+                    patterns: Optional[list] = None) -> DataFrame:
+    """ordered_output with the ordering window applied to the NARROW frame
+    BEFORE the extraction UDF: the shuffle moves (conv_id, turn_idx, text)
+    instead of the full nested extraction payload — at 100TB that is the
+    difference between shuffling ~3 columns and shuffling everything."""
+    window = Window.partitionBy("conv_id").orderBy("turn_idx")
+    narrow = (
+        turns.select("conv_id", "turn_idx", "text")
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .withColumn("turn_rank", F.row_number().over(window))
+    )
+    return run_extraction(narrow, patterns).select(
+        "conv_id", "turn_idx", "turn_rank",
+        F.col("extraction.tokens").alias("tokens"),
+        F.col("extraction.spans").alias("spans"),
+        F.col("extraction.materials").alias("materials"),
+    )
+
+
 def span_counts_per_conversation(extracted: DataFrame,
                                  salt_buckets: int = 16) -> DataFrame:
     """Two-phase (salted) aggregation of span counts per conversation.

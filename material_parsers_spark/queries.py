@@ -1,0 +1,731 @@
+"""Driver-contract query suite (SURVEY.md §2.11 + training-data operators).
+
+Each entry pairs a Spark DataFrame implementation with an equivalent ANSI-SQL
+oracle that DuckDB runs on the same parquet tables. Column names and types
+are aligned deliberately (the driver's compare hashes values after sorting
+columns by name). Floats are rounded on BOTH sides before comparison.
+
+Shared deterministic hash (both engines): the first 15 hex digits of md5,
+read as a base-16 integer — identical in Spark (`conv`) and DuckDB
+(`'0x' || substr(...)` cast).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SPARK_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: Dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def wrap(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return wrap
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _h(col):
+    """Deterministic 60-bit hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_H_SQL = "cast(('0x' || substr(md5({expr}), 1, 15)) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline queries (UDF-driven -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+_TURNS_CACHE: dict = {}
+
+
+def _turns_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic transcript table sized to the scale factor
+    (the driver's star schema has no turns table; BASELINE.json input_hint
+    defines the shape we synthesize). Cached per session+scale — it stands
+    in for a real input table, so its generation cost (one window shuffle)
+    is paid once, not per query."""
+    from .pipeline.transcripts import generate_turns
+    scale = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+    n = 10_000
+    for key, value in scale.items():
+        if sf_dir.rstrip("/").endswith(key):
+            n = value
+    key = (id(spark), n)
+    if key not in _TURNS_CACHE:
+        _TURNS_CACHE[key] = generate_turns(spark, n, partitions=32).cache()
+    return _TURNS_CACHE[key]
+
+
+@_register("extract_materials")
+def extract_materials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-turn material records with resolved formulas."""
+    from .pipeline.extraction import extract_ordered
+    out = extract_ordered(_turns_for(spark, sf_dir))
+    material = F.explode("materials").alias("material")
+    return (
+        out.select("conv_id", "turn_idx", material)
+        .select(
+            "conv_id", "turn_idx",
+            F.col("material.formula.rawValue").alias("raw_formula"),
+            F.col("material.doping").alias("doping"),
+            F.col("material.shape").alias("shape"),
+            F.explode_outer("material.resolvedFormulas").alias("resolved"),
+        )
+        .select(
+            "conv_id", "turn_idx", "raw_formula", "doping", "shape",
+            F.col("resolved.rawValue").alias("resolved_formula"),
+            F.to_json("resolved.formulaComposition").alias("composition"),
+        )
+    )
+
+
+@_register("extract_spans")
+def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.extraction import extract_ordered
+    out = extract_ordered(_turns_for(spark, sf_dir))
+    return (
+        out.select("conv_id", "turn_idx", F.explode("spans").alias("span"))
+        .select(
+            "conv_id", "turn_idx",
+            F.col("span.text").alias("span_text"),
+            F.col("span.type").alias("span_type"),
+            F.col("span.offset_start").alias("offset_start"),
+            F.col("span.offset_end").alias("offset_end"),
+            F.col("span.linkable").alias("linkable"),
+        )
+    )
+
+
+@_register("extract_links")
+def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.extraction import extract_ordered
+    out = extract_ordered(_turns_for(spark, sf_dir))
+    return (
+        out.select("conv_id", "turn_idx", F.explode("spans").alias("span"))
+        .select("conv_id", "turn_idx",
+                F.col("span.text").alias("source_text"),
+                F.col("span.type").alias("source_type"),
+                F.explode("span.links").alias("link"))
+        .select("conv_id", "turn_idx", "source_text", "source_type",
+                F.col("link.targetText").alias("target_text"),
+                F.col("link.targetType").alias("target_type"),
+                F.col("link.type").alias("link_kind"))
+    )
+
+
+@_register("conversation_span_stats")
+def conversation_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase per-conversation rollup (skew-safe)."""
+    from .pipeline.extraction import run_extraction, span_counts_per_conversation
+    return span_counts_per_conversation(
+        run_extraction(_turns_for(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the driver star schema (DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+@_register("stable_ordering", """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+""")
+def stable_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    window = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id", "event_id", F.row_number().over(window).alias("rn"))
+
+
+@_register("session_stats", """
+SELECT user_id,
+       cast(count(*) AS bigint) AS n_events,
+       cast(count(DISTINCT event_type) AS bigint) AS n_types,
+       cast(sum(cast(value AS decimal(18, 2))) AS decimal(28, 2))
+         AS total_value,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+""")
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decimal sum on purpose: double sums are order-dependent across
+    # engines/partitions; decimal aggregation is exact and associative
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@_register("sessionize_events", """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, cast(sum(new_session) AS bigint) AS n_sessions
+FROM gaps GROUP BY user_id
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-row sessionization — the distributed analog of the kernel's
+    cluster_by_label (L3) as lag + cumulative flag."""
+    events = _read(spark, sf_dir, "events")
+    window = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(micros).over(window)
+    new_session = F.when(
+        prev.isNull() | (micros - prev > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+@_register("error_context_windows", """
+SELECT user_id, event_id,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events QUALIFY event_type = 'error'
+""")
+def error_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 analog: mislabel-window mining via lag/lead."""
+    events = _read(spark, sf_dir, "events")
+    window = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events
+        .withColumn("prev_type", F.lag("event_type").over(window))
+        .withColumn("next_type", F.lead("event_type").over(window))
+        .where(F.col("event_type") == "error")
+        .select("user_id", "event_id", "prev_type", "next_type")
+    )
+
+
+@_register("corpus_rollup", """
+SELECT lang, source,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+""")
+def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog: per-batch grouping-set statistics."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@_register("link_metrics", """
+WITH predicted AS (
+  SELECT o_orderkey AS a, o_custkey AS b FROM orders WHERE o_orderkey % 2 = 0),
+expected AS (
+  SELECT o_orderkey AS a, o_custkey AS b FROM orders WHERE o_orderkey % 3 = 0),
+tp AS (SELECT count(*) AS n FROM predicted p JOIN expected e
+       ON p.a = e.a AND p.b = e.b)
+SELECT round(cast((SELECT n FROM tp) AS double) /
+             (SELECT count(*) FROM predicted), 6) AS precision_,
+       round(cast((SELECT n FROM tp) AS double) /
+             (SELECT count(*) FROM expected), 6) AS recall_
+""")
+def link_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analog: predicted-vs-expected link match as a join + agg."""
+    orders = _read(spark, sf_dir, "orders")
+    predicted = orders.where(F.col("o_orderkey") % 2 == 0) \
+        .select(F.col("o_orderkey").alias("a"), F.col("o_custkey").alias("b"))
+    expected = orders.where(F.col("o_orderkey") % 3 == 0) \
+        .select(F.col("o_orderkey").alias("a"), F.col("o_custkey").alias("b"))
+    tp = predicted.join(expected, ["a", "b"]).count()
+    return spark.createDataFrame(
+        [(round(tp / predicted.count(), 6), round(tp / expected.count(), 6))],
+        "precision_ double, recall_ double")
+
+
+@_register("top_documents", """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+""")
+def top_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.select("doc_id", "n_chars")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10))
+
+
+@_register("resume_anti_join", """
+SELECT l_returnflag, cast(count(*) AS bigint) AS pending_rows
+FROM lineitem WHERE l_orderkey % 7 <> 0
+GROUP BY l_returnflag
+""")
+def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume shape: anti-join input against completed manifest."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    checkpointed = orders.where(F.col("o_orderkey") % 7 == 0) \
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    return (
+        lineitem.join(F.broadcast(checkpointed), "l_orderkey", "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("pending_rows"))
+    )
+
+
+@_register("fixture_diff", """
+SELECT doc_id FROM documents WHERE lang = 'en'
+EXCEPT
+SELECT doc_id FROM documents WHERE source = 'src0'
+""")
+def fixture_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.where(F.col("lang") == "en").select("doc_id")
+            .exceptAll(docs.where(F.col("source") == "src0").select("doc_id"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+@_register("dedup_exact", f"""
+SELECT {_H_SQL.format(expr='text')} AS text_hash,
+       cast(count(*) AS bigint) AS n_docs,
+       min(doc_id) AS first_doc
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(_h(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@_register("token_stats", """
+SELECT doc_id,
+       cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+       cast(length(text) AS bigint) AS n_chars_actual
+FROM documents WHERE length(trim(text)) > 0
+""")
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+            .alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars_actual"),
+        )
+    )
+
+
+@_register("quality_scores", """
+SELECT doc_id,
+       round(cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+             / length(text), 6) AS punct_ratio,
+       round(cast(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> w IN ('the', 'a', 'of', 'and', 'is')))
+                  AS double)
+             / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio,
+       cast(length(text) AS bigint) AS doc_len
+FROM documents WHERE length(trim(text)) > 0
+""")
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    stopwords = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is"]])
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    return (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.round(n_punct.cast("double") / F.length("text"), 6)
+            .alias("punct_ratio"),
+            F.round(
+                F.size(F.filter(words, lambda w: F.array_contains(stopwords, w)))
+                .cast("double") / F.size(words), 6).alias("stopword_ratio"),
+            F.length("text").cast("long").alias("doc_len"),
+        )
+    )
+
+
+@_register("lang_id_heuristic", """
+WITH scores AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w IN ('the','is','a')))
+           AS en_score,
+         len(list_filter(string_split(text, ' '), w -> w IN ('la','el','es')))
+           AS es_score,
+         len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das')))
+           AS de_score
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+            WHEN es_score > en_score AND es_score >= de_score THEN 'es'
+            ELSE 'de' END AS predicted_lang
+FROM scores
+""")
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def score(markers):
+        marker_array = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(marker_array, w)))
+
+    en, es, de = (score(m) for m in
+                  (["the", "is", "a"], ["la", "el", "es"], ["der", "die", "das"]))
+    return docs.select(
+        "doc_id", "lang",
+        F.when((en >= es) & (en >= de), "en")
+        .when((es > en) & (es >= de), "es")
+        .otherwise("de").alias("predicted_lang"),
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS shingles
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+def _shingles_df(docs: DataFrame) -> DataFrame:
+    words = F.split("text", " ")
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(0),
+                   F.greatest(F.size(words) - 3, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
+            F.element_at(words, i + 3)),
+    ))
+    return (docs.where(F.size(words) >= 3)
+            .select("doc_id", shingles.alias("shingles")))
+
+
+@_register("dedup_minhash_lsh", f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7), s ->
+             list_min(list_transform(shingles, x ->
+                 {_H_SQL.format(expr="x || ':' || s")}))) AS sig
+  FROM shingled),
+bands AS (
+  SELECT doc_id, b,
+         sig[2*b + 1] || ':' || sig[2*b + 2] AS band_key
+  FROM sigs, generate_series(0, 3) t(b))
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       cast(count(DISTINCT a.b) AS bigint) AS n_shared_bands
+FROM bands a JOIN bands c ON a.band_key = c.band_key AND a.b = c.b
+WHERE a.doc_id < c.doc_id
+GROUP BY 1, 2
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8) + LSH banding (4 bands x 2 rows): shingle -> minhash ->
+    band bucket -> self-join on band key. The join key is the band hash, so
+    at scale the shuffle is on small keys, never on document text.
+
+    The signature array is exploded to (doc_id, pos, hash) rows BEFORE band
+    keys are assembled — Catalyst inlines array expressions on reuse, so
+    keeping the md5 sweep behind a Generate node guarantees it runs exactly
+    once per document rather than once per band reference."""
+    docs = _read(spark, sf_dir, "documents")
+    shingled = _shingles_df(docs)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda s: F.array_min(F.transform(
+            F.col("shingles"),
+            lambda x: F.conv(
+                F.substring(F.md5(F.concat(x, F.lit(":"), s.cast("string"))),
+                            1, 15), 16, 10).cast("long"))),
+    )
+    sig_rows = shingled.select(
+        "doc_id", F.posexplode(sig).alias("pos", "h"))
+    bands = (
+        sig_rows
+        .withColumn("b", (F.col("pos") / 2).cast("int"))
+        .groupBy("doc_id", "b")
+        # positional min/max instead of collect_list: aggregation order is
+        # not guaranteed, even/odd slots are
+        .agg(F.concat_ws(
+            ":",
+            F.max(F.when(F.col("pos") % 2 == 0, F.col("h"))).cast("string"),
+            F.max(F.when(F.col("pos") % 2 == 1, F.col("h"))).cast("string"),
+        ).alias("band_key"))
+    )
+    left = bands.alias("a")
+    right = bands.alias("c")
+    return (
+        left.join(right, (F.col("a.band_key") == F.col("c.band_key"))
+                  & (F.col("a.b") == F.col("c.b"))
+                  & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("c.doc_id").alias("doc_b"))
+        .agg(F.countDistinct(F.col("a.b")).cast("long")
+             .alias("n_shared_bands"))
+    )
+
+
+@_register("dedup_ngram_jaccard", f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(cast(len(list_intersect(a.shingles, b.shingles)) AS double) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+           AS jaccard
+  FROM shingled a
+  JOIN documents da ON a.doc_id = da.doc_id
+  JOIN shingled b ON a.doc_id < b.doc_id
+  JOIN documents db ON b.doc_id = db.doc_id
+     AND da.lang = db.lang AND (da.n_chars // 64) = (db.n_chars // 64))
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup inside (lang, length-bucket) blocks — the
+    blocking keys bound the pair explosion at scale."""
+    docs = _read(spark, sf_dir, "documents")
+    shingled = _shingles_df(docs).join(
+        docs.select("doc_id", "lang",
+                    (F.col("n_chars") / 64).cast("long").alias("len_bucket")),
+        "doc_id")
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    jaccard = F.round(
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        .cast("double")
+        / F.size(F.array_distinct(
+            F.concat(F.col("a.shingles"), F.col("b.shingles")))), 6)
+    return (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.len_bucket") == F.col("b.len_bucket")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@_register("dedup_simhash", f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ({_H_SQL.format(expr='w')} >> b) & 1 = 1
+                  THEN 1 ELSE -1 END) AS weight
+  FROM words, generate_series(0, 15) t(b)
+  GROUP BY doc_id, b)
+SELECT doc_id,
+       cast(sum(CASE WHEN weight > 0 THEN 1 << b ELSE 0 END) AS bigint)
+         AS simhash16
+FROM bits GROUP BY doc_id
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document, fully JVM-side: per-bit
+    signed vote over distinct-word hashes, then bit assembly."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split("text", " "))
+    word_hash = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10) \
+        .cast("long")
+    exploded = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(words).alias("w"))
+        .select("doc_id", word_hash.alias("h"))
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15)))
+                .alias("b"), "h")
+        .withColumn("vote",
+                    F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 "
+                           "THEN 1 ELSE -1 END"))
+    )
+    bits = exploded.groupBy("doc_id", "b").agg(F.sum("vote").alias("weight"))
+    return (
+        bits.groupBy("doc_id")
+        .agg(F.sum(F.expr("CASE WHEN weight > 0 THEN shiftleft(1, b) "
+                          "ELSE 0 END"))
+             .cast("long").alias("simhash16"))
+    )
+
+
+def _dot(a, b):
+    """Left-fold dot product in double — the exact same association order as
+    the DuckDB oracle's list_reduce, so the doubles agree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b,
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+_COSINE_SQL = """
+round(
+  list_reduce(list_transform(generate_series(1, len({q})),
+                             i -> {q}[i]::DOUBLE * {e}[i]::DOUBLE),
+              (a, b) -> a + b)
+  / (sqrt(list_reduce(list_transform(generate_series(1, len({q})),
+                                     i -> {q}[i]::DOUBLE * {q}[i]::DOUBLE),
+                      (a, b) -> a + b))
+     * sqrt(list_reduce(list_transform(generate_series(1, len({e})),
+                                       i -> {e}[i]::DOUBLE * {e}[i]::DOUBLE),
+                        (a, b) -> a + b))), 6)
+"""
+
+
+@_register("similarity_topk", f"""
+WITH queries AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_COSINE_SQL.format(q='q.q_vec', e='e.embedding')} AS cosine
+  FROM queries q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors, JVM-side dot
+    product via zip_with/aggregate (no Python in the loop)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    joined = F.broadcast(queries).crossJoin(emb) \
+        .where(F.col("vec_id") != F.col("q_id"))
+
+    cosine = F.round(
+        _dot(F.col("q_vec"), F.col("embedding"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("embedding"))), 6)
+    scored = joined.select("q_id", "vec_id", cosine.alias("cosine"))
+    window = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(window))
+            .where(F.col("rn") <= 3).select("q_id", "vec_id", "cosine"))
+
+
+@_register("similarity_ann_lsh", f"""
+WITH buckets AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+          CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+          CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings),
+queries AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket
+            FROM buckets WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, b.vec_id,
+         {_COSINE_SQL.format(q='q.q_vec', e='b.embedding')} AS cosine
+  FROM queries q JOIN buckets b USING (bucket)
+  WHERE b.vec_id <> q.q_id)
+SELECT q_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: candidates co-partitioned by bucket, so the
+    scale path joins on a small bucket key instead of a cross join."""
+    emb = _read(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    )
+    buckets = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    queries = buckets.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        "bucket")
+
+    joined = F.broadcast(queries).join(buckets, "bucket") \
+        .where(F.col("vec_id") != F.col("q_id"))
+    cosine = F.round(
+        _dot(F.col("q_vec"), F.col("embedding"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("embedding"))), 6)
+    scored = joined.select("q_id", "vec_id", cosine.alias("cosine"))
+    window = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(window))
+            .where(F.col("rn") <= 3).select("q_id", "vec_id", "cosine"))
+
+
+@_register("stratified_sample", f"""
+SELECT lang, cast(count(*) AS bigint) AS sampled_docs
+FROM documents
+WHERE {_H_SQL.format(expr="cast(doc_id as varchar)")} % 10 < 2
+GROUP BY lang
+""")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog: deterministic hash-mod stratified sampling (reproducible,
+    unlike rand()-based sampleBy)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.where(F.pmod(_h(F.col("doc_id").cast("string")), F.lit(10)) < 2)
+        .groupBy("lang").agg(F.count("*").alias("sampled_docs"))
+    )
+
+
+@_register("multimodal_features", f"""
+SELECT doc_id,
+       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+       {_H_SQL.format(expr='text')} % 1000000 AS content_hash,
+       cast(greatest(octet_length(encode(text)) // 4, 1) AS bigint)
+         AS n_frames
+FROM documents WHERE text IS NOT NULL
+""")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat content as opaque bytes, extract features
+    via an Arrow-batched mapInPandas (the real decode — image/audio libs —
+    is stubbed with a deterministic byte-level featurizer; the Spark-side
+    schema/partitioning/batching is the real thing)."""
+    import pandas as pd
+
+    docs = _read(spark, sf_dir, "documents") \
+        .where(F.col("text").isNotNull()) \
+        .select("doc_id", F.col("text").cast("binary").alias("content"))
+
+    def featurize(batches):
+        import hashlib
+        for pdf in batches:
+            blobs = pdf["content"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in blobs],
+                "content_hash": [
+                    int(hashlib.md5(bytes(b)).hexdigest()[:15], 16) % 1000000
+                    for b in blobs
+                ],
+                # stubbed decode: frame count derived from byte length, the
+                # shape a real video frame-sampler would return
+                "n_frames": [max(len(b) // 4, 1) for b in blobs],
+            })
+
+    return docs.mapInPandas(
+        featurize,
+        "doc_id long, n_bytes long, content_hash long, n_frames long")
