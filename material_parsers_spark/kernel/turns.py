@@ -31,8 +31,13 @@ MATERIAL_LABELS = {"<formula>", "<name>", "<doping>", "<shape>",
 
 
 def extract_turn(text: Optional[str],
-                 matcher: Optional[TokenTrieMatcher] = None) -> dict:
-    """Full extraction for one turn; deterministic, no I/O."""
+                 matcher: Optional[TokenTrieMatcher] = None,
+                 include_tokens: bool = True) -> dict:
+    """Full extraction for one turn; deterministic, no I/O.
+
+    ``include_tokens=False`` skips materializing the token array in the
+    output (the largest part of the Arrow payload) for consumers that only
+    read spans/materials — the computation is identical either way."""
     if not text:
         return {"tokens": [], "spans": [], "materials": []}
 
@@ -85,28 +90,37 @@ def extract_turn(text: Optional[str],
     if isinstance(materials, dict):  # empty-example sentinel
         materials = []
 
-    # ---- linking (SURVEY §3.2): classify tcValues, then link per config
+    # ---- linking (SURVEY §3.2): classify tcValues, then link per config.
+    # Tokens are converted and spans remapped ONCE; every downstream doc
+    # build works from cheap per-span copies of the remapped dicts (the
+    # reference deep-copies per stage — at Arrow-batch scale that triples
+    # the kernel cost for nothing, spans are flat dicts + a links list).
     token_dicts = [
         {"text": tokens[i], "offset_start": offsets[i][0],
          "offset_end": offsets[i][1], "token_start": i, "token_end": i + 1}
         for i in range(len(tokens))
     ]
 
-    import copy as _copy
-    work_spans = _copy.deepcopy(spans)
-    words, spaces, remapped = convert_tokens(
-        [dict(t) for t in token_dicts], work_spans)
+    def copy_spans(source):
+        return [{**s, "links": list(s["links"])} for s in source]
+
+    words, spaces, remapped = convert_tokens(token_dicts, copy_spans(spans))
+
     doc = build_doc(words, spaces, remapped)
     doc = mark_linkable_temperatures(doc)
     linkable_by_id = {t.id: t.linkable for t in doc if t.ent_type}
 
+    spans_by_id = {}
     for span in spans:
+        spans_by_id[str(span["id"])] = span
         if str(span["id"]) in linkable_by_id:
             span["linkable"] = bool(linkable_by_id[str(span["id"])])
 
     for source_type, destination_type in LINK_CONFIGS:
-        config_spans = _copy.deepcopy(spans)
+        config_spans = copy_spans(remapped)
         for span in config_spans:
+            span["linkable"] = bool(
+                linkable_by_id.get(str(span["id"]), span.get("linkable")))
             # the ML tagger emits <formula>/<name>; for linking they play
             # the <material> role (the reference receives <material> spans
             # from its upstream NER — service.py:102-119)
@@ -115,24 +129,28 @@ def extract_turn(text: Optional[str],
                 span["type"] = "<material>"
             if span["type"] == destination_type:
                 span["linkable"] = True
+
+        has_src = any(s["type"] == source_type for s in config_spans)
+        has_dst = any(s["type"] == destination_type for s in config_spans)
+        if not (has_src and has_dst):
+            continue
         linker = RuleBasedLinker(source=source_type,
                                  destination=destination_type)
-        results = linker.process(
-            text, config_spans, [dict(t) for t in token_dicts])
-        for result in results:
-            for out_span in result.get("spans", []):
-                if not out_span.get("links"):
-                    continue
-                for span in spans:
-                    if str(span["id"]) == str(out_span["id"]):
-                        for link in out_span["links"]:
-                            if link not in span["links"]:
-                                span["links"].append(link)
+        result = linker.process_sentence(words, spaces, config_spans)
+        for out_span in result.get("spans", []):
+            if not out_span.get("links"):
+                continue
+            span = spans_by_id.get(str(out_span["id"]))
+            if span is None:
+                continue
+            for link in out_span["links"]:
+                if link not in span["links"]:
+                    span["links"].append(link)
 
     out_tokens = [
         {"text": tokens[i], "start": offsets[i][0], "end": offsets[i][1]}
         for i in range(len(tokens))
-    ]
+    ] if include_tokens else []
     out_spans = [
         {
             "id": str(s["id"]),

@@ -43,15 +43,19 @@ def build_default_patterns() -> list:
 
 
 def run_extraction(turns: DataFrame,
-                   patterns: Optional[list] = None) -> DataFrame:
+                   patterns: Optional[list] = None,
+                   include_tokens: bool = True) -> DataFrame:
     """Append an ``extraction`` struct column (tokens, spans, materials).
 
     The matcher trie is built per executor from the broadcast pattern list
     (cheap, built once per python worker via closure caching).
+    ``include_tokens=False`` halves the Arrow payload for consumers that
+    only read spans/materials.
     """
     spark = turns.sparkSession
     pattern_list = patterns if patterns is not None else build_default_patterns()
     broadcast_patterns = spark.sparkContext.broadcast(pattern_list)
+    with_tokens = include_tokens
 
     @F.pandas_udf(EXTRACTION_TYPE)
     def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -61,8 +65,16 @@ def run_extraction(turns: DataFrame,
 
         matcher = _Matcher(broadcast_patterns.value)
         for series in batches:
-            rows = [_extract(text, matcher) for text in series]
+            rows = [_extract(text, matcher, include_tokens=with_tokens)
+                    for text in series]
             yield pd.DataFrame(rows, columns=["tokens", "spans", "materials"])
+
+    # The kernel is deterministic, but the non-deterministic flag stops
+    # Catalyst from DUPLICATING the UDF: InferFiltersFromGenerate otherwise
+    # pushes a size(materials)>0 predicate below a downstream explode and
+    # re-evaluates the whole Python stage a second time (observed via
+    # .explain: two ArrowEvalPython nodes for one query).
+    extract_udf = extract_udf.asNondeterministic()
 
     # column pruning: only (conv_id, turn_idx, text) feed the kernel; the
     # cheap null/empty filter runs JVM-side before any Python is invoked
@@ -90,18 +102,27 @@ def ordered_output(extracted: DataFrame) -> DataFrame:
 
 
 def extract_ordered(turns: DataFrame,
-                    patterns: Optional[list] = None) -> DataFrame:
+                    patterns: Optional[list] = None,
+                    include_tokens: bool = True) -> DataFrame:
     """ordered_output with the ordering window applied to the NARROW frame
     BEFORE the extraction UDF: the shuffle moves (conv_id, turn_idx, text)
     instead of the full nested extraction payload — at 100TB that is the
     difference between shuffling ~3 columns and shuffling everything."""
     window = Window.partitionBy("conv_id").orderBy("turn_idx")
+    spark = turns.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism * 4
     narrow = (
         turns.select("conv_id", "turn_idx", "text")
         .where(F.col("text").isNotNull() & (F.length("text") > 0))
         .withColumn("turn_rank", F.row_number().over(window))
+        # the window hash-partitions by conv_id, so hot conversations pile
+        # into single tasks; the UDF stage is the expensive one — rebalance
+        # the narrow rows round-robin (cheap shuffle) so no straggler
+        # carries a whole hot conversation through Python
+        .repartition(n_parts)
     )
-    return run_extraction(narrow, patterns).select(
+    return run_extraction(narrow, patterns,
+                          include_tokens=include_tokens).select(
         "conv_id", "turn_idx", "turn_rank",
         F.col("extraction.tokens").alias("tokens"),
         F.col("extraction.spans").alias("spans"),

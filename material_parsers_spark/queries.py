@@ -55,12 +55,15 @@ def _turns_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     defines the shape we synthesize). Cached per session+scale — it stands
     in for a real input table, so its generation cost (one window shuffle)
     is paid once, not per query."""
+    import os
+
     from .pipeline.transcripts import generate_turns
-    scale = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
-    n = 10_000
+    scale = {"sf0.001": 4_000, "sf0.01": 40_000, "sf0.1": 400_000}
+    n = 40_000
     for key, value in scale.items():
         if sf_dir.rstrip("/").endswith(key):
             n = value
+    n = int(os.environ.get("SPARK_GRAFT_TURNS", n))
     key = (id(spark), n)
     if key not in _TURNS_CACHE:
         _TURNS_CACHE[key] = generate_turns(spark, n, partitions=32).cache()
@@ -71,7 +74,7 @@ def _turns_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 def extract_materials(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: per-turn material records with resolved formulas."""
     from .pipeline.extraction import extract_ordered
-    out = extract_ordered(_turns_for(spark, sf_dir))
+    out = extract_ordered(_turns_for(spark, sf_dir), include_tokens=False)
     material = F.explode("materials").alias("material")
     return (
         out.select("conv_id", "turn_idx", material)
@@ -93,7 +96,7 @@ def extract_materials(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("extract_spans")
 def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.extraction import extract_ordered
-    out = extract_ordered(_turns_for(spark, sf_dir))
+    out = extract_ordered(_turns_for(spark, sf_dir), include_tokens=False)
     return (
         out.select("conv_id", "turn_idx", F.explode("spans").alias("span"))
         .select(
@@ -110,7 +113,7 @@ def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("extract_links")
 def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.extraction import extract_ordered
-    out = extract_ordered(_turns_for(spark, sf_dir))
+    out = extract_ordered(_turns_for(spark, sf_dir), include_tokens=False)
     return (
         out.select("conv_id", "turn_idx", F.explode("spans").alias("span"))
         .select("conv_id", "turn_idx",
@@ -129,7 +132,7 @@ def conversation_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase per-conversation rollup (skew-safe)."""
     from .pipeline.extraction import run_extraction, span_counts_per_conversation
     return span_counts_per_conversation(
-        run_extraction(_turns_for(spark, sf_dir)))
+        run_extraction(_turns_for(spark, sf_dir), include_tokens=False))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion of transcript turns.
+
+The reference has no streaming surface (SURVEY.md §2.11) — this is the
+engine's scale path for continuously arriving transcripts: a file-source
+stream of turn parquet, the same Arrow-batched extraction UDF (pandas UDFs
+are streaming-safe), a watermark for late turns, and a windowed per-slice
+rollup. Exactly-once delivery comes from the checkpointLocation; the batch
+path's manifest/anti-join resume (pipeline/checkpoint.py) remains the
+recovery story for backfills.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.schemas import TURNS_SCHEMA
+
+
+def read_turn_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 8) -> DataFrame:
+    return (
+        spark.readStream
+        .schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def streaming_extraction(turns: DataFrame,
+                         patterns: Optional[list] = None) -> DataFrame:
+    """Same extraction UDF as the batch path, applied to a stream."""
+    from ..pipeline.extraction import run_extraction
+    return run_extraction(turns, patterns=patterns)
+
+
+def windowed_span_counts(extracted: DataFrame,
+                         window_duration: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Per-window span/material counts with late-data handling."""
+    return (
+        extracted
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("time_window"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.size("extraction.spans")).alias("n_spans"),
+            F.sum(F.size("extraction.materials")).alias("n_materials"),
+        )
+        .select(
+            F.col("time_window.start").alias("window_start"),
+            F.col("time_window.end").alias("window_end"),
+            "n_turns", "n_spans", "n_materials",
+        )
+    )
+
+
+def run_stream_once(spark: SparkSession, input_dir: str, output_dir: str,
+                    checkpoint_dir: str,
+                    patterns: Optional[list] = None) -> None:
+    """Drain all available input once (availableNow) into a parquet sink —
+    the batch-incremental deployment mode (cron-driven micro-batch)."""
+    extracted = streaming_extraction(
+        read_turn_stream(spark, input_dir), patterns)
+    flat = extracted.select(
+        "conv_id", "turn_idx", "ts",
+        F.col("extraction.spans").alias("spans"),
+        F.col("extraction.materials").alias("materials"),
+    )
+    query = (
+        flat.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

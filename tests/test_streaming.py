@@ -1,0 +1,67 @@
+"""Structured Streaming tests: availableNow drain equals the batch path;
+restart with the same checkpoint emits nothing new (exactly-once)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from material_parsers_spark.pipeline.session import build_session
+from material_parsers_spark.pipeline.transcripts import generate_turns
+from material_parsers_spark.streaming.turn_stream import run_stream_once
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return build_session(app_name="streaming-tests", master="local[4]",
+                         shuffle_partitions=4)
+
+
+def test_stream_drain_matches_batch_and_is_exactly_once(spark):
+    workdir = tempfile.mkdtemp(prefix="stream-test-")
+    input_dir = f"{workdir}/in"
+    output_dir = f"{workdir}/out"
+    checkpoint = f"{workdir}/ckpt"
+    try:
+        turns = generate_turns(spark, 150, partitions=3)
+        turns.write.mode("overwrite").parquet(input_dir)
+
+        run_stream_once(spark, input_dir, output_dir, checkpoint)
+        first = spark.read.parquet(output_dir)
+        n_expected = turns.where("text is not null and length(text) > 0") \
+            .count()
+        assert first.count() == n_expected
+        assert first.select("conv_id", "turn_idx").distinct().count() == \
+            n_expected
+
+        # restart with the same checkpoint: no new input -> no new rows
+        run_stream_once(spark, input_dir, output_dir, checkpoint)
+        assert spark.read.parquet(output_dir).count() == n_expected
+
+        # new files arrive -> only the delta is processed
+        more = generate_turns(spark, 40, partitions=1).withColumn(
+            "conv_id", more_prefix())
+        more.write.mode("append").parquet(input_dir)
+        run_stream_once(spark, input_dir, output_dir, checkpoint)
+        assert spark.read.parquet(output_dir).count() > n_expected
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def more_prefix():
+    from pyspark.sql import functions as F
+    return F.concat(F.lit("late-"), F.col("conv_id"))
+
+
+def test_windowed_counts_schema(spark):
+    from material_parsers_spark.streaming.turn_stream import (
+        streaming_extraction,
+        windowed_span_counts,
+    )
+    # windowed agg plan compiles against the streaming schema (batch DF with
+    # identical schema exercises the same analyzer path)
+    turns = generate_turns(spark, 50, partitions=1)
+    out = windowed_span_counts(streaming_extraction(turns))
+    rows = out.collect()
+    assert sum(r.n_turns for r in rows) == 50
+    assert all(r.window_start is not None for r in rows)
