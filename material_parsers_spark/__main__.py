@@ -1,0 +1,81 @@
+"""spark-submit entry point (north rule deployment path).
+
+Run the checkpointed, resumable extraction job on a cluster:
+
+    spark-submit --py-files material_parsers_spark.zip \
+        -m material_parsers_spark run \
+        --input  s3://bucket/turns/          (or a local parquet dir)
+        --output s3://bucket/extractions/
+        --manifest /shared/manifests/run42
+        --run-id run42 --buckets 256
+
+or locally for smoke testing:
+
+    python -m material_parsers_spark run --generate 10000 \
+        --output /tmp/out --manifest /tmp/manifest --run-id dev
+
+Re-running with the same manifest resumes: completed buckets are skipped
+via a broadcast anti-join (pipeline/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="material_parsers_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="checkpointed extraction job")
+    run.add_argument("--input", help="turns parquet dir (conv_id, turn_idx, "
+                                     "role, text, tool, ts)")
+    run.add_argument("--generate", type=int, default=0,
+                     help="generate N synthetic turns instead of --input")
+    run.add_argument("--output", required=True)
+    run.add_argument("--manifest", required=True)
+    run.add_argument("--run-id", required=True)
+    run.add_argument("--buckets", type=int, default=64)
+    run.add_argument("--master", default=None)
+
+    stream = sub.add_parser("stream", help="drain a turns stream once")
+    stream.add_argument("--input", required=True)
+    stream.add_argument("--output", required=True)
+    stream.add_argument("--checkpoint", required=True)
+    stream.add_argument("--master", default=None)
+
+    args = parser.parse_args(argv)
+
+    from .pipeline.session import build_session
+
+    spark = build_session(app_name=f"mps-{args.command}", master=args.master)
+
+    if args.command == "run":
+        from .pipeline.checkpoint import run_with_checkpoint
+        from .pipeline.transcripts import generate_turns
+
+        if args.generate:
+            turns = generate_turns(spark, args.generate)
+        elif args.input:
+            turns = spark.read.parquet(args.input)
+        else:
+            parser.error("provide --input or --generate")
+        lineage = run_with_checkpoint(
+            turns, args.output, args.manifest, args.run_id,
+            n_buckets=args.buckets)
+        print(json.dumps(lineage))
+        return 0
+
+    if args.command == "stream":
+        from .streaming.turn_stream import run_stream_once
+        run_stream_once(spark, args.input, args.output, args.checkpoint)
+        print(json.dumps({"status": "drained", "output": args.output}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
