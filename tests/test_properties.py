@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the kernel invariants the fixture
+corpus can't exhaustively cover."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from material_parsers_spark.kernel.classify import decompose_formula, get_class
+from material_parsers_spark.kernel.doc import (
+    build_doc,
+    convert_tokens,
+    get_sentence_boundaries,
+)
+from material_parsers_spark.kernel.formulas import formula_to_composition
+from material_parsers_spark.kernel.tokenizer import tokenize, tokenize_and_filter
+from material_parsers_spark.kernel.turns import extract_turn
+from material_parsers_spark.kernel.variables import expand_formula, replace_variable
+
+text_strategy = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,;()-−≤<>=/[]{}\n\t",
+    max_size=400,
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_tokenize_partitions_text_exactly(text):
+    tokens, offsets = tokenize(text)
+    assert "".join(tokens) == text
+    cursor = 0
+    for token, (start, end) in zip(tokens, offsets):
+        assert start == cursor
+        assert end - start == len(token)
+        assert text[start:end] == token
+        cursor = end
+
+
+@given(text_strategy)
+@settings(max_examples=100, deadline=None)
+def test_filtered_tokens_keep_valid_offsets(text):
+    tokens, offsets = tokenize_and_filter(text)
+    for token, (start, end) in zip(tokens, offsets):
+        assert text[start:end] == token
+        assert token not in (" ", "\t", "\n")
+
+
+@given(text_strategy)
+@settings(max_examples=100, deadline=None)
+def test_extract_turn_total_and_consistent(text):
+    """The extraction kernel must never raise and must emit offset-true
+    spans whatever the input."""
+    out = extract_turn(text)
+    for span in out["spans"]:
+        assert text[span["offset_start"]:span["offset_end"]] == span["text"]
+        assert 0 <= span["token_start"] < span["token_end"]
+    for material in out["materials"]:
+        for resolved in material.get("resolvedFormulas") or []:
+            assert resolved["rawValue"]
+
+
+@given(st.text(alphabet=string.ascii_letters + string.digits + "().-−",
+               max_size=60),
+       st.sampled_from(["x", "y", "z"]),
+       st.sampled_from(["0.1", "0.25", "-0.3", "1"]))
+@settings(max_examples=200, deadline=None)
+def test_replace_variable_total(formula, variable, value):
+    out = replace_variable(formula, variable, value)
+    assert isinstance(out, str)
+    # substitution never grows the string by more than the inserted values
+    assert len(out) <= len(formula) + formula.count(variable) * (len(value) + 4)
+
+
+@given(st.text(alphabet=string.ascii_letters + string.digits + " (),-",
+               max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_expand_formula_total(formula):
+    try:
+        out = expand_formula(formula)
+    except RuntimeError:
+        return  # >24 dopants: the reference raises too
+    assert isinstance(out, list) and len(out) >= 1
+
+
+@given(st.text(alphabet=string.ascii_letters + string.digits + " ().-−",
+               max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_classification_total(formula):
+    assert isinstance(get_class(formula), str)
+    assert isinstance(decompose_formula(formula), list)
+    out = formula_to_composition(formula)
+    if out:
+        assert all(isinstance(v, str) for v in out["composition"].values())
+
+
+@given(st.lists(
+    st.text(alphabet=string.ascii_letters + string.digits + ".,", min_size=1,
+            max_size=8),
+    min_size=1, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_convert_tokens_space_folding(words):
+    """Interleave words with single spaces; conversion must reproduce the
+    original text and produce aligned words/spaces arrays."""
+    tokens = []
+    offset = 0
+    for i, word in enumerate(words):
+        tokens.append({"text": word, "offset_start": offset,
+                       "offset_end": offset + len(word)})
+        offset += len(word)
+        if i != len(words) - 1:
+            tokens.append({"text": " ", "offset_start": offset,
+                           "offset_end": offset + 1})
+            offset += 1
+    out_words, out_spaces, _ = convert_tokens(tokens, [])
+    assert len(out_words) == len(out_spaces)
+    rebuilt = "".join(
+        w + (" " if s else "") for w, s in zip(out_words, out_spaces))
+    original = " ".join(words)
+    assert rebuilt == original
+    doc = build_doc(out_words, out_spaces, [])
+    assert doc.text == original
+    # sentence alignment never raises
+    get_sentence_boundaries(out_words, out_spaces)
