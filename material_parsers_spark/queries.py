@@ -478,16 +478,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("pos") % 2 == 1, F.col("h"))).cast("string"),
         ).alias("band_key"))
     )
-    left = bands.alias("a")
-    right = bands.alias("c")
+    # pairs via groupBy(band bucket) + in-bucket combination expansion
+    # instead of a self-join: the md5 sweep lineage is evaluated ONCE (a
+    # self-join re-executes it on both sides), and the shuffle key is the
+    # tiny band hash. Bucket membership lists are small by construction
+    # (bands are 128-bit keys), so the quadratic expansion is bounded.
+    buckets = (
+        bands.groupBy("b", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    pairs = buckets.select(
+        "b",
+        F.explode(F.filter(
+            F.flatten(F.transform(
+                F.col("members"),
+                lambda a: F.transform(
+                    F.col("members"), lambda c: F.struct(
+                        a.alias("doc_a"), c.alias("doc_b"))),
+            )),
+            lambda p: p.getField("doc_a") < p.getField("doc_b"),
+        )).alias("pair"),
+    )
     return (
-        left.join(right, (F.col("a.band_key") == F.col("c.band_key"))
-                  & (F.col("a.b") == F.col("c.b"))
-                  & (F.col("a.doc_id") < F.col("c.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("c.doc_id").alias("doc_b"))
-        .agg(F.countDistinct(F.col("a.b")).cast("long")
-             .alias("n_shared_bands"))
+        pairs.groupBy(F.col("pair.doc_a").alias("doc_a"),
+                      F.col("pair.doc_b").alias("doc_b"))
+        .agg(F.countDistinct("b").cast("long").alias("n_shared_bands"))
     )
 
 
