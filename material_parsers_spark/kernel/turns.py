@@ -20,9 +20,20 @@ from .tagger import tag_spans
 from .tc_classifier import mark_linkable_temperatures
 from .tokenizer import tokenize
 
+# the five reference link-type configurations, exact orientation from
+# service.py:18-31, with the span type forced linkable per configuration
+# from the reference's label_link map (service.py:41-47) — always the
+# non-tcValue side; tcValue linkability comes from the classifier.
+# (source, destination, forced_linkable_types)
 LINK_CONFIGS = [
-    ("<tcValue>", "<material>"),
-    ("<tcValue>", "<pressure>"),
+    ("<tcValue>", "<material>", ("<material>",)),
+    ("<pressure>", "<tcValue>", ("<pressure>",)),
+    ("<tcValue>", "<me_method>", ("<me_method>",)),
+    # for the structure configs the reference relies on upstream linkable
+    # marks on the dictionary spans; our gazetteer spans are curated
+    # dictionary hits, so both sides are linkable by construction
+    ("<material>", "<crystal-structure>", ("<material>", "<crystal-structure>")),
+    ("<material>", "<space-groups>", ("<material>", "<space-groups>")),
 ]
 
 # span types whose surface text feeds the material state machine
@@ -116,7 +127,8 @@ def extract_turn(text: Optional[str],
         if str(span["id"]) in linkable_by_id:
             span["linkable"] = bool(linkable_by_id[str(span["id"])])
 
-    for source_type, destination_type in LINK_CONFIGS:
+    for source_type, destination_type, forced_types in LINK_CONFIGS:
+        involves_material = "<material>" in (source_type, destination_type)
         config_spans = copy_spans(remapped)
         for span in config_spans:
             span["linkable"] = bool(
@@ -124,10 +136,9 @@ def extract_turn(text: Optional[str],
             # the ML tagger emits <formula>/<name>; for linking they play
             # the <material> role (the reference receives <material> spans
             # from its upstream NER — service.py:102-119)
-            if destination_type == "<material>" and \
-                    span["type"] in ("<formula>", "<name>"):
+            if involves_material and span["type"] in ("<formula>", "<name>"):
                 span["type"] = "<material>"
-            if span["type"] == destination_type:
+            if span["type"] in forced_types:
                 span["linkable"] = True
 
         has_src = any(s["type"] == source_type for s in config_spans)
