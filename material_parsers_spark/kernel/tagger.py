@@ -23,6 +23,7 @@ from .formulas import parse_composition
 
 TC_KEYWORDS = {"superconducts", "superconductivity", "superconducting",
                "superconductive", "superconductor"}
+ME_METHOD_KEYWORDS = {"magnetization", "resistivity", "susceptibility"}
 DOPING_KEYWORDS = {"underdoped", "overdoped", "doped", "undoped"}
 SHAPE_KEYWORDS = {"crystal", "crystals", "powder", "powders", "film",
                   "films", "wire", "wires", "pellet", "pellets"}
@@ -111,6 +112,12 @@ def tag_spans(tokens: List[str], offsets: List[Tuple[int, int]],
         if low == "critical" and word(k + 1).lower() == "temperature":
             add("<tc>", idx_list[k], idx_list[k + 1] + 1)
             k += 2
+            continue
+
+        # <me_method>: measurement-method mentions
+        if low in ME_METHOD_KEYWORDS:
+            add("<me_method>", idx_list[k], idx_list[k] + 1)
+            k += 1
             continue
 
         # <doping> / <fabrication>

@@ -39,10 +39,11 @@ TEMPLATES = [
     "is notable.",
     "A long filler narrative about instrumentation, calibration, and "
     "sample preparation follows here without extractable entities %s %s.",
+    "The resistivity measurement shows T c = %s K for the %s sample.",
 ]
 
 TEMPLATE_SLOTS = ["FV", "FV", "FD", "FV", "VF", "FV", "VD",
-                  "VD", "FV", "VF", "VD", "VF", "VF", "VD"]
+                  "VD", "FV", "VF", "VD", "VF", "VF", "VD", "VF"]
 
 FORMULAS = [
     "MgB 2", "LaFeBO7", "CsFe2As2", "La Fe B 8-x", "CaBr2-x",
