@@ -14,8 +14,8 @@ from typing import List, Optional
 from .doc import build_doc, compute_span_id, convert_tokens, span_to_dict
 from .formulas import formula_to_composition, name_to_formula
 from .gazetteer import TokenTrieMatcher
-from .linker import RuleBasedLinker
 from .materials import extract_results
+from .resolvers import simple_resolution, vicinity_resolution
 from .tagger import tag_spans
 from .tc_classifier import mark_linkable_temperatures
 from .tokenizer import tokenize
@@ -127,36 +127,50 @@ def extract_turn(text: Optional[str],
         if str(span["id"]) in linkable_by_id:
             span["linkable"] = bool(linkable_by_id[str(span["id"])])
 
+    # one merged-token doc serves every link configuration: the token
+    # boundaries never change between configs, only the entity type alias
+    # (<formula>/<name> play <material>) and the linkable marks do — reset
+    # those per config instead of rebuilding the doc (the reference rebuilds
+    # the spaCy doc per linker; at Arrow-batch scale that dominates).
+    entity_tokens = [t for t in doc if t.ent_type]
+    original_types = [t.ent_type for t in entity_tokens]
+    base_linkable = [t.linkable for t in entity_tokens]
+
     for source_type, destination_type, forced_types in LINK_CONFIGS:
         involves_material = "<material>" in (source_type, destination_type)
-        config_spans = copy_spans(remapped)
-        for span in config_spans:
-            span["linkable"] = bool(
-                linkable_by_id.get(str(span["id"]), span.get("linkable")))
-            # the ML tagger emits <formula>/<name>; for linking they play
-            # the <material> role (the reference receives <material> spans
-            # from its upstream NER — service.py:102-119)
-            if involves_material and span["type"] in ("<formula>", "<name>"):
-                span["type"] = "<material>"
-            if span["type"] in forced_types:
-                span["linkable"] = True
+        for token, orig_type, orig_linkable in zip(
+                entity_tokens, original_types, base_linkable):
+            effective = orig_type
+            if involves_material and orig_type in ("<formula>", "<name>"):
+                effective = "<material>"
+            token.ent_type = effective
+            token.linkable = orig_linkable or effective in forced_types
+            token.links = []
 
-        has_src = any(s["type"] == source_type for s in config_spans)
-        has_dst = any(s["type"] == destination_type for s in config_spans)
-        if not (has_src and has_dst):
+        destinations = [t for t in entity_tokens
+                        if t.ent_type == destination_type and t.linkable]
+        sources = [t for t in entity_tokens
+                   if t.ent_type == source_type and t.linkable]
+        if not destinations or not sources:
             continue
-        linker = RuleBasedLinker(source=source_type,
-                                 destination=destination_type)
-        result = linker.process_sentence(words, spaces, config_spans)
-        for out_span in result.get("spans", []):
-            if not out_span.get("links"):
+
+        relationships = simple_resolution(destinations, sources)
+        if not relationships:
+            vicinity_resolution(doc, destinations, sources)
+
+        for token in entity_tokens:
+            if not token.links:
                 continue
-            span = spans_by_id.get(str(out_span["id"]))
+            span = spans_by_id.get(str(token.id))
             if span is None:
                 continue
-            for link in out_span["links"]:
+            for link in token.links:
                 if link not in span["links"]:
                     span["links"].append(link)
+
+    # restore original types (doc may be inspected by callers/tests)
+    for token, orig_type in zip(entity_tokens, original_types):
+        token.ent_type = orig_type
 
     out_tokens = [
         {"text": tokens[i], "start": offsets[i][0], "end": offsets[i][1]}
