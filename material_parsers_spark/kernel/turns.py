@@ -102,20 +102,16 @@ def extract_turn(text: Optional[str],
         materials = []
 
     # ---- linking (SURVEY §3.2): classify tcValues, then link per config.
-    # Tokens are converted and spans remapped ONCE; every downstream doc
-    # build works from cheap per-span copies of the remapped dicts (the
-    # reference deep-copies per stage — at Arrow-batch scale that triples
-    # the kernel cost for nothing, spans are flat dicts + a links list).
+    # Tokens are converted, spans remapped, and ONE merged-token doc built;
+    # the reference deep-copies and rebuilds its spaCy doc per stage.
     token_dicts = [
         {"text": tokens[i], "offset_start": offsets[i][0],
          "offset_end": offsets[i][1], "token_start": i, "token_end": i + 1}
         for i in range(len(tokens))
     ]
 
-    def copy_spans(source):
-        return [{**s, "links": list(s["links"])} for s in source]
-
-    words, spaces, remapped = convert_tokens(token_dicts, copy_spans(spans))
+    words, spaces, remapped = convert_tokens(
+        token_dicts, [{**s, "links": list(s["links"])} for s in spans])
 
     doc = build_doc(words, spaces, remapped)
     doc = mark_linkable_temperatures(doc)
@@ -167,10 +163,6 @@ def extract_turn(text: Optional[str],
             for link in token.links:
                 if link not in span["links"]:
                     span["links"].append(link)
-
-    # restore original types (doc may be inspected by callers/tests)
-    for token, orig_type in zip(entity_tokens, original_types):
-        token.ent_type = orig_type
 
     out_tokens = [
         {"text": tokens[i], "start": offsets[i][0], "end": offsets[i][1]}
