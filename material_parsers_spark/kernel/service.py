@@ -19,15 +19,14 @@ from .linker import RuleBasedLinker, get_link_type
 from .materials import extract_results, strip_empty
 from .tc_classifier import mark_temperatures_paragraph
 from .tokenizer import tokenize
-from .turns import extract_turn
+from .turns import LINK_CONFIGS, extract_turn
 
-LINK_TYPE_CONFIGS = [
-    ("<tcValue>", "<material>"),
-    ("<tcValue>", "<pressure>"),
-    ("<tcValue>", "<me_method>"),
-    ("<material>", "<space-groups>"),
-    ("<material>", "<crystal-structure>"),
-]
+# (source, destination, forced-linkable types) pinned to the reference's
+# linker wiring (`service.py:18-31`) and label_link map (`service.py:41-47`):
+# note tcValue-pressure runs pressure->tcValue, unlike the other tcValue
+# linkers — vicinity resolution is direction-sensitive, so orientation
+# matters on multi-entity sentences. Shared with the Spark hot path.
+LINK_TYPE_CONFIGS = LINK_CONFIGS
 
 
 def process_material(texts: List[str],
@@ -65,11 +64,11 @@ def process_link(paragraphs: List[dict]) -> List[dict]:
             if str(span["id"]) in linkable:
                 span["linkable"] = linkable[str(span["id"])]
 
-        for source, destination in LINK_TYPE_CONFIGS:
+        for source, destination, forced_types in LINK_TYPE_CONFIGS:
             work = [dict(s, links=list(s.get("links") or []))
                     for s in paragraph["spans"]]
             for span in work:
-                if span["type"] == destination:
+                if span["type"] in forced_types:
                     span["linkable"] = True
             linker = RuleBasedLinker(source=source, destination=destination)
             results = linker.process(

@@ -16,6 +16,7 @@ grobid token array.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import List, Tuple
 
 from .elements import ELEMENT_SET
@@ -35,15 +36,18 @@ _NUMBER = re.compile(r"^\d+(?:\.\d+)?$")
 _INT = re.compile(r"^\d+$")
 
 
+@lru_cache(maxsize=65536)
 def _is_formula_token(token: str) -> bool:
     """Compact formula-shaped token, e.g. "MgB", "LaFeBO" (the tokenizer has
-    already split trailing digits off). At least two element symbols."""
+    already split trailing digits off). At least two element symbols.
+    Memoized: this runs per token in the hottest kernel loop and token
+    vocabularies are tiny relative to token counts."""
     if len(token) < 2 or not token[0].isupper():
         return False
     try:
         return len(parse_composition(token)) >= 2
     except ValueError:
-        return token in ELEMENT_SET and False
+        return False
 
 
 def tag_spans(tokens: List[str], offsets: List[Tuple[int, int]],
@@ -69,8 +73,6 @@ def tag_spans(tokens: List[str], offsets: List[Tuple[int, int]],
         })
 
     idx_list = nonspace_indices()
-    taken = [False] * n
-    positions = {tok_idx: k for k, tok_idx in enumerate(idx_list)}
 
     def word(k: int) -> str:
         return tokens[idx_list[k]] if 0 <= k < len(idx_list) else ""

@@ -155,21 +155,24 @@ def stable_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        cast(count(*) AS bigint) AS n_events,
        cast(count(DISTINCT event_type) AS bigint) AS n_types,
-       cast(sum(cast(value AS decimal(18, 2))) AS decimal(28, 2))
-         AS total_value,
-       max(ts) AS last_ts
+       cast(sum(cast(value AS decimal(18, 2))) * 100 AS bigint)
+         AS total_cents,
+       cast(epoch_us(max(ts)) AS bigint) AS last_ts_us
 FROM events GROUP BY user_id
 """)
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal sum on purpose: double sums are order-dependent across
-    # engines/partitions; decimal aggregation is exact and associative
+    # engines/partitions; decimal aggregation is exact and associative.
+    # Both the sum and the timestamp are emitted as bigints (cents /
+    # epoch-micros) so neither engine's decimal or timestamp rendering
+    # can diverge in the driver's value-hash comparison.
     events = _read(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(28,2)").alias("total_value"),
-        F.max("ts").alias("last_ts"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").alias("total_cents"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_ts_us"),
     )
 
 
@@ -248,16 +251,25 @@ SELECT round(cast((SELECT n FROM tp) AS double) /
              (SELECT count(*) FROM expected), 6) AS recall_
 """)
 def link_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 analog: predicted-vs-expected link match as a join + agg."""
+    """A2 analog: predicted-vs-expected link match as a join + agg.
+
+    Single distributed job: full-outer join with presence indicators,
+    then one aggregate — no driver-side counts or result assembly.
+    """
     orders = _read(spark, sf_dir, "orders")
     predicted = orders.where(F.col("o_orderkey") % 2 == 0) \
-        .select(F.col("o_orderkey").alias("a"), F.col("o_custkey").alias("b"))
+        .select(F.col("o_orderkey").alias("a"), F.col("o_custkey").alias("b"),
+                F.lit(1).alias("p"))
     expected = orders.where(F.col("o_orderkey") % 3 == 0) \
-        .select(F.col("o_orderkey").alias("a"), F.col("o_custkey").alias("b"))
-    tp = predicted.join(expected, ["a", "b"]).count()
-    return spark.createDataFrame(
-        [(round(tp / predicted.count(), 6), round(tp / expected.count(), 6))],
-        "precision_ double, recall_ double")
+        .select(F.col("o_orderkey").alias("a"), F.col("o_custkey").alias("b"),
+                F.lit(1).alias("e"))
+    joined = predicted.join(expected, ["a", "b"], "full_outer")
+    tp = F.sum(F.when(F.col("p").isNotNull() & F.col("e").isNotNull(), 1)
+               .otherwise(0))
+    return joined.agg(
+        F.round(tp / F.sum(F.coalesce("p", F.lit(0))), 6).alias("precision_"),
+        F.round(tp / F.sum(F.coalesce("e", F.lit(0))), 6).alias("recall_"),
+    )
 
 
 @_register("top_documents", """

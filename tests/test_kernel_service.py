@@ -64,3 +64,20 @@ def test_convert_endpoints():
 
 def test_split_batch_input():
     assert service.split_batch_input("a\nb") == ["a", "b"]
+
+
+def test_link_type_configs_match_reference_orientations():
+    """Pin all five (source, destination) orientations against the
+    reference's linker wiring (`/root/reference/material_parsers/
+    service.py:18-31`). Vicinity resolution is direction-sensitive
+    (1xN shortcut + matrix iteration order), so a swapped pair can
+    change links on multi-entity sentences."""
+    reference = {
+        ("<tcValue>", "<material>"),
+        ("<pressure>", "<tcValue>"),
+        ("<tcValue>", "<me_method>"),
+        ("<material>", "<crystal-structure>"),
+        ("<material>", "<space-groups>"),
+    }
+    ours = {(src, dst) for src, dst, _forced in service.LINK_TYPE_CONFIGS}
+    assert ours == reference
