@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import List, Optional, Tuple
 
 ENTITY_CLASSES = [
@@ -163,6 +163,54 @@ def build_doc(words: List[str], spaces: List[bool], spans: List[dict]) -> Merged
             index += 1
 
     return MergedDoc(merged)
+
+
+def merge_phrase_spans(doc: MergedDoc,
+                       phrase_spans: List[Tuple[int, int]]) -> MergedDoc:
+    """X2: noun-chunk merging mechanism (`linking_module.py:99-117,292-297`).
+
+    Merge each token span [start, end) into ONE plain token, exactly like
+    the reference's retokenizer.merge over noun chunks: merged text is the
+    covered text (internal whitespace kept, trailing whitespace becomes the
+    merged token's flag), char offsets of every other token are unchanged.
+    Spans must not overlap each other or entity tokens (the reference
+    skips entity-overlapping chunks; overlapping merges raise there too).
+
+    The chunk SELECTION in the reference comes from en_core_web_sm's
+    statistical parser and is not reproducible without the model; this
+    function provides the merge semantics so any selector can be plugged
+    in (see tests/test_reference_differential.py for the proof that no
+    selection changes resolver distances).
+    """
+    ordered = sorted(phrase_spans)
+    for (a, b), (c, _) in zip(ordered, ordered[1:]):
+        if c < b:
+            raise ValueError(f"overlapping phrase spans: ({a},{b}) ({c},_)")
+    out: List[MergedToken] = []
+    index = 0
+    pos = 0
+    while index < len(doc.tokens):
+        span = ordered[pos] if pos < len(ordered) else None
+        if span is not None and index == span[0]:
+            start, end = span
+            toks = doc.tokens[start:end]
+            if any(t.ent_type for t in toks):
+                raise ValueError(
+                    f"phrase span ({start},{end}) overlaps an entity token")
+            out.append(MergedToken(
+                text="".join(t.text_with_ws for t in toks[:-1])
+                     + toks[-1].text,
+                idx=toks[0].idx,
+                whitespace=toks[-1].whitespace,
+            ))
+            index = end
+            pos += 1
+        else:
+            # copy: MergedDoc.__init__ rewrites token.i, and the input
+            # doc must keep its own indices
+            out.append(replace(doc.tokens[index]))
+            index += 1
+    return MergedDoc(out)
 
 
 def convert_tokens(tokens: List[dict], spans: List[dict]) -> Tuple[List[str], List[bool], List[dict]]:

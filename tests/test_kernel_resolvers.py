@@ -254,12 +254,17 @@ def test_find_following_entity():
 
 
 def test_calculate_distances_goldens():
-    # The reference test pins 7.5 / 7.5 / 18 for these pairs — values that
-    # embed a spaCy-substrate artifact: running the REFERENCE resolver code
-    # unmodified over our parser-free merged-token doc yields exactly the
-    # values below (see test_reference_differential.py), and every
-    # relationship-level fixture still resolves to the same links. We pin
-    # our substrate's exact arithmetic.
+    # The reference test pins 7.5 / 7.5 / 18 for these pairs. Those
+    # constants are STALE: calculate_distances reads only character
+    # offsets, so noun-chunk merging cannot move them, and
+    # test_reference_differential.py::
+    # test_no_noun_chunking_can_produce_the_stale_goldens proves
+    # exhaustively (every admissible chunk merge, via the reference's own
+    # code) that the posted code yields 5.5 / 5.5 / 16.5 on the posted
+    # input — or crashes — never 7.5 / 7.5 / 18. The companion reference
+    # fixture (27.0 / 23.5, test_calculate_distances_2) IS reproduced
+    # digit-for-digit, and every relationship-level fixture resolves to
+    # the same links. We pin the reference CODE's output.
     doc = prepare_doc(
         "Havinga et al systematically changed n from 3.00 to 4.00 by "
         "synthesizing LaTl 3 (n=3.00, T c =1.6 K), LaPb 3 (n=3.75, "
