@@ -117,7 +117,9 @@ def crystal_structure_patterns(names: Iterable[str],
 def space_group_patterns(items: Iterable[dict],
                          label: str = "space-groups") -> List[dict]:
     """D3: underscore/slash spacing variants of space-group symbols plus
-    lattice-type labels (`json_entity_ruler_reader.py:267-313`)."""
+    lattice-type labels (`json_entity_ruler_reader.py:267-313`; the shipped
+    patterns.jsonl labels these "unit-cell-type", which the deployed
+    dictionary pins — the generator source says "lattice-type")."""
     patterns: List[dict] = []
     seen = set()
     structure_types = set()
@@ -152,7 +154,7 @@ def space_group_patterns(items: Iterable[dict],
             emit(variant, label, type_)
 
     for structure_type in sorted(structure_types):
-        emit(structure_type, "lattice-type", None)
+        emit(structure_type, "unit-cell-type", None)
 
     return patterns
 

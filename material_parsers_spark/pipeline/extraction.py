@@ -13,6 +13,9 @@ project. No groupBy, no join, no window in the hot path.
 
 from __future__ import annotations
 
+import json
+import os
+from functools import lru_cache
 from typing import Iterator, Optional
 
 import pandas as pd
@@ -26,8 +29,7 @@ from ..kernel.gazetteer import (
 )
 from .schemas import EXTRACTION_TYPE
 
-# default curated dictionary (D2/D3 generators); a production run loads the
-# full pattern files and broadcasts the same way
+# tiny curated dictionary kept for fast kernel tests
 DEFAULT_CRYSTAL_NAMES = ["Al B2", "Cu O2", "Fe As", "Nb Ti", "La O"]
 DEFAULT_SPACE_GROUPS = [
     {"name": "P6/mmm", "type": "hexagonal"},
@@ -36,10 +38,36 @@ DEFAULT_SPACE_GROUPS = [
     {"name": "Pnma", "type": "orthorhombic"},
 ]
 
+_RESOURCES = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "resources")
+
 
 def build_default_patterns() -> list:
     return (crystal_structure_patterns(DEFAULT_CRYSTAL_NAMES)
             + space_group_patterns(DEFAULT_SPACE_GROUPS))
+
+
+@lru_cache(maxsize=1)
+def _full_patterns_cached() -> tuple:
+    with open(os.path.join(_RESOURCES, "space_groups.json")) as fh:
+        space_groups = json.load(fh)
+    with open(os.path.join(_RESOURCES, "crystal_structures.json")) as fh:
+        crystal = json.load(fh)
+    patterns = (
+        crystal_structure_patterns([i.get("name", "") for i in crystal])
+        + space_group_patterns(space_groups)
+    )
+    return tuple(patterns)
+
+
+def load_full_patterns() -> list:
+    """The production dictionary: the full 230-space-group +
+    100-prototype-compound base lists (resources/, data from the
+    reference's deployment: `resources/data/{space-groups,
+    crystal-structure}.json`) expanded by the D2/D3 generators into the
+    same pattern set the reference ships (5,925 unique patterns; shipped
+    file parity proven in tests/test_reference_differential.py)."""
+    return list(_full_patterns_cached())
 
 
 def run_extraction(turns: DataFrame,
@@ -53,7 +81,7 @@ def run_extraction(turns: DataFrame,
     only read spans/materials.
     """
     spark = turns.sparkSession
-    pattern_list = patterns if patterns is not None else build_default_patterns()
+    pattern_list = patterns if patterns is not None else load_full_patterns()
     broadcast_patterns = spark.sparkContext.broadcast(pattern_list)
     with_tokens = include_tokens
 

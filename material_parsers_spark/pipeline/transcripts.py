@@ -27,7 +27,7 @@ TEMPLATES = [
     "We synthesized underdoped %s single crystals near %s K.",
     "T c = %s.2 K was found for %s at 140 GPa.",
     "The %s sample was annealed and quenched into powders batch %s.",
-    "No materials are discussed in this turn; value %s is just noise %s.",
+    "The %s phase crystallizes in space group %s at ambient pressure.",
     "In the best cases %s K and 2%s K were measured for MgB 2 and NbB 2 , "
     "respectively.",
     "The AlB2-type structure with P6/mmm symmetry was confirmed for %s "
@@ -37,13 +37,24 @@ TEMPLATES = [
     "tool output: {\"status\": \"ok\", \"rows\": %s, \"table\": \"%s\"}",
     "The critical temperature T C = %s.1 K discovered for %s in this work "
     "is notable.",
-    "A long filler narrative about instrumentation, calibration, and "
-    "sample preparation follows here without extractable entities %s %s.",
+    "Diffraction confirms a %s arrangement with %s symmetry in this batch.",
     "The resistivity measurement shows T c = %s K for the %s sample.",
 ]
 
-TEMPLATE_SLOTS = ["FV", "FV", "FD", "FV", "VF", "FV", "VD",
-                  "VD", "FV", "VF", "VD", "VF", "VF", "VD", "VF"]
+TEMPLATE_SLOTS = ["FV", "FV", "FD", "FV", "VF", "FV", "CG",
+                  "VD", "FV", "VF", "VD", "VF", "VF", "CG", "VF"]
+
+# structure-dictionary surface forms (all present in the full gazetteer;
+# mixed case/spacing variants to exercise the trie's case folding and
+# multi-token paths)
+CRYSTAL_STRUCTURES = [
+    "NaCl-type", "GdFeO3-type", "MgAl2O4-type", "CaTiO3-type",
+    "NaCl - type", "mgcu2-type", "perovskite-related CaTiO3-type",
+]
+SPACE_GROUPS = [
+    "P6/mmm", "Fm-3m", "P4/nmm", "Ia-3d", "P42/mmc", "I4/mcm",
+    "R-3c", "pm-3m", "cubic", "tetragonal",
+]
 
 FORMULAS = [
     "MgB 2", "LaFeBO7", "CsFe2As2", "La Fe B 8-x", "CaBr2-x",
@@ -98,9 +109,19 @@ def generate_turns(spark: SparkSession, n_turns: int,
     )
     value = (F.pmod(F.col("id") * 7, F.lit(90)) + 3).cast("string")
     digit = F.pmod(F.col("id"), F.lit(9)).cast("string")
+    crystal = F.element_at(
+        F.array(*[F.lit(c) for c in CRYSTAL_STRUCTURES]),
+        (F.pmod(F.col("id") / 3, F.lit(len(CRYSTAL_STRUCTURES))).cast("int")
+         + 1),
+    )
+    space_group = F.element_at(
+        F.array(*[F.lit(g) for g in SPACE_GROUPS]),
+        (F.pmod(F.col("id") / 5, F.lit(len(SPACE_GROUPS))).cast("int") + 1),
+    )
 
     template_id = F.pmod(F.col("id"), F.lit(len(TEMPLATES)))
-    kinds = {"F": formula, "V": value, "D": digit}
+    kinds = {"F": formula, "V": value, "D": digit,
+             "C": crystal, "G": space_group}
     text = None
     for tid, template in enumerate(TEMPLATES):
         a, b = (kinds[c] for c in TEMPLATE_SLOTS[tid])

@@ -110,6 +110,28 @@ def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("extract_structures")
+def extract_structures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary matching (D1-D3) at production trie size: per-label span
+    counts from the full 5,925-pattern gazetteer (the reference's shipped
+    dictionaries, regenerated from the base lists — see
+    pipeline/extraction.py:load_full_patterns). Rows-only check like the
+    other extraction queries (trie semantics are not SQL-expressible);
+    per-span correctness is pinned by kernel fixtures and the
+    pipeline-vs-kernel parity test."""
+    from .pipeline.extraction import extract_ordered
+    out = extract_ordered(_turns_for(spark, sf_dir), include_tokens=False)
+    structure_types = ("<crystal-structure>", "<space-groups>",
+                       "<unit-cell-type>")
+    return (
+        out.select(F.explode("spans").alias("span"))
+        .where(F.col("span.type").isin(*structure_types))
+        .groupBy(F.col("span.type").alias("span_type"),
+                 F.col("span.text").alias("span_text"))
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
 @_register("extract_links")
 def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.extraction import extract_ordered

@@ -55,10 +55,10 @@ def test_space_group_spacing_variants():
 def test_lattice_type_labels_emitted():
     patterns = space_group_patterns([{"name": "P6/mmm", "type": "hexagonal"}])
     labels = {p["label"] for p in patterns}
-    assert labels == {"space-groups", "lattice-type"}
+    assert labels == {"space-groups", "unit-cell-type"}
     matcher = TokenTrieMatcher(patterns)
     out = matcher.match("a hexagonal cell")
-    assert out[0]["label"] == "<lattice-type>"
+    assert out[0]["label"] == "<unit-cell-type>"
 
 
 def test_longest_match_wins():
@@ -75,7 +75,7 @@ def test_non_overlapping_left_to_right():
     matcher = _matcher()
     out = matcher.match("AlB2-type then P6/mmm and cubic")
     assert [e["label"] for e in out] == [
-        "<crystal-structure>", "<space-groups>", "<lattice-type>",
+        "<crystal-structure>", "<space-groups>", "<unit-cell-type>",
     ]
 
 
@@ -89,3 +89,23 @@ def test_match_structures_batch():
 def test_bracketed_names_skipped():
     assert crystal_structure_patterns(["(weird) name", "Al B2"])
     assert not crystal_structure_patterns(["(weird) name"])
+
+
+def test_full_dictionary_trie_matches_production_patterns():
+    """D1 at production size: the full 5,925-pattern dictionary loaded and
+    matched against text exercising multi-token patterns, case
+    insensitivity, longest-match, and both label families."""
+    from material_parsers_spark.kernel.gazetteer import TokenTrieMatcher
+    from material_parsers_spark.pipeline.extraction import load_full_patterns
+
+    matcher = TokenTrieMatcher(load_full_patterns())
+    text = ("The AlB2-type structure with P6/mmm symmetry was confirmed, "
+            "unlike the NaCl - type phase (space group fm-3m, cubic) "
+            "or the Mg Cu2-type Laves phase.")
+    ents = matcher.match(text)
+    got = {(e["text"], e["label"]) for e in ents}
+    assert ("AlB2-type", "<crystal-structure>") in got
+    assert ("P6/mmm", "<space-groups>") in got
+    assert ("NaCl - type", "<crystal-structure>") in got
+    assert ("cubic", "<unit-cell-type>") in got
+    assert ("Mg Cu2-type", "<crystal-structure>") in got

@@ -78,7 +78,8 @@ def test_pipeline_matches_pure_kernel_per_turn(spark, turns):
         .orderBy("conv_id", "turn_idx").collect()
 
     raw = turns.orderBy("conv_id", "turn_idx").collect()
-    matcher = TokenTrieMatcher(build_default_patterns())
+    from material_parsers_spark.pipeline.extraction import load_full_patterns
+    matcher = TokenTrieMatcher(load_full_patterns())  # production trie size
 
     assert len(result) == len([r for r in raw if r.text])
     by_key = {(r.conv_id, r.turn_idx): r for r in result}

@@ -302,3 +302,28 @@ def test_distances_2_fixture_matches_reference_constants():
     assert len(distances) == 2
     assert distances[materials[0]][tcs[0]] == 27.0
     assert distances[materials[1]][tcs[0]] == 23.5
+
+
+def test_full_gazetteer_matches_shipped_dictionaries():
+    """Our D2/D3 generators over the shipped base lists reproduce the
+    reference's deployed pattern files (`resources/data/*/patterns.jsonl`)
+    as exact (pattern, label) sets. The shipped space-groups file contains
+    duplicate lattice-type lines (the reference generator re-appends them
+    per item without dedup) and labels them 'unit-cell-type'; the trie is
+    a set, so unique-set equality is the behavioral contract."""
+    import json as _json
+
+    from material_parsers_spark.pipeline.extraction import load_full_patterns
+
+    ours = load_full_patterns()
+    ours_set = {(p["pattern"], p["label"]) for p in ours}
+
+    ref_set = set()
+    for name in ("space-groups", "crystal-structure"):
+        path = f"/root/reference/resources/data/{name}/patterns.jsonl"
+        for line in open(path):
+            row = _json.loads(line)
+            ref_set.add((row["pattern"], row["label"]))
+
+    assert ours_set == ref_set
+    assert len(ours_set) == 5925
