@@ -149,6 +149,39 @@ def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("linking_eval", """
+SELECT '<material-tcValue>' AS link_type,
+       cast(40 AS bigint) AS n_docs,
+       cast(0.75 AS double) AS micro_precision,
+       cast(0.75 AS double) AS micro_recall,
+       cast(0.75 AS double) AS micro_f1,
+       cast(0.75 AS double) AS macro_precision,
+       cast(0.75 AS double) AS macro_recall,
+       cast(0.75 AS double) AS macro_f1,
+       cast(160 AS bigint) AS support
+""")
+def linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 end-to-end: TEI corpus -> rule-based linker -> micro/macro
+    report, all distributed. The corpus is synthesized deterministically
+    (fixed size, independent of sf): 40 docs x 4 paragraphs, where every
+    4th paragraph's gold link points at a decoy material the rule-based
+    linker provably mislinks — so the metrics (0.75 across the board) pin
+    the full reader+linker+join+aggregation chain against a constant
+    oracle, not a trivial all-ones result."""
+    import os
+    import tempfile
+
+    from .pipeline.evaluation import evaluate_linking
+    from .sources.tei import read_tei, synthesize_tei_corpus
+
+    corpus = os.path.join(tempfile.gettempdir(),
+                          "material_parsers_spark_tei_eval_v1")
+    marker = os.path.join(corpus, "doc-00039.tei.xml")
+    if not os.path.exists(marker):
+        synthesize_tei_corpus(corpus, n_docs=40, paragraphs_per_doc=4)
+    return evaluate_linking(read_tei(spark, corpus + "/*.xml"))
+
+
 @_register("conversation_span_stats")
 def conversation_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase per-conversation rollup (skew-safe)."""

@@ -85,3 +85,154 @@ def write_span_csv(extracted: DataFrame, path: str) -> None:
              F.col("span.offset_start").alias("offset_start"),
              F.col("span.offset_end").alias("offset_end"))
      .write.mode("overwrite").option("header", "true").csv(path))
+
+
+# ---------------------------------------------------------------------------
+# S5: WebAnno TSV 3.2 sink (`converters/xml2tsv/xml2tsv.py:17-207`)
+# ---------------------------------------------------------------------------
+
+WEBANNO_HEADER = (
+    "#FORMAT=WebAnno TSV 3.2\n"
+    "#T_SP=webanno.custom.Section|name\n"
+    "#T_SP=webanno.custom.Supercon|extra_tag|supercon_tag\n"
+    "#T_RL=webanno.custom.Supercon_link|relationships|"
+    "BT_webanno.custom.Supercon\n\n"
+)
+
+
+def _webanno_relationship_name(source_type: str, dest_type: str) -> str:
+    """`xml2tsv.py:173-188`, including the raise on unknown pairs."""
+    source = source_type.strip("<>").lower()
+    dest = dest_type.strip("<>").lower()
+    if source == "tcvalue":
+        if dest == "material":
+            return "tcValue-material"
+        if dest == "me_method":
+            return "tcValue-me_method"
+    elif source == "pressure":
+        return "tcValue-pressure"
+    raise ValueError(
+        "Something is wrong in the links. The origin label "
+        f"{source_type}, or the destination {dest_type} is not recognised.")
+
+
+def webanno_tsv_document(paragraphs) -> str:
+    """Serialize one document's TEI paragraphs (the
+    ``parse_tei_paragraphs`` shape) to WebAnno TSV 3.2 text.
+
+    Column semantics pinned to the reference converter: global running
+    character offsets (+1 between paragraphs), 1-based paragraph/token
+    numbering over non-space tokens, per-entity ``*[n]``/``class[n]``
+    marks, and relations written on the DESTINATION entity's first token
+    as ``name`` + ``srcPar-srcTok[srcEnt_dstEnt]``.
+    """
+    lines = [WEBANNO_HEADER.rstrip("\n"), ""]
+
+    # first pass: token rows + entity coordinates
+    rows = {}              # (par, tok) -> [s, e, text, section, extra, tag]
+    links = {}             # (par, tok) -> [name, location]
+    dest_by_xml_id = {}    # xml:id -> (par, tok, ient, type)
+    sources = []           # (par, tok, corresp, ient, type)
+    ient = 1
+    base = 0
+    texts = []
+    for par_index, paragraph in enumerate(paragraphs):
+        par = par_index + 1
+        texts.append(paragraph["text"])
+        section = f"{paragraph['section']}[{par_index + 10000}]"
+        spans = sorted(paragraph.get("spans", []),
+                       key=lambda s: s["token_start"])
+        span_pos = 0
+        tok = 0
+        for index, token in enumerate(paragraph["tokens"]):
+            text = token["text"].rstrip(" ")
+            if not text:
+                continue
+            while (span_pos < len(spans)
+                   and index >= spans[span_pos]["token_end"]):
+                span_pos += 1
+            span = spans[span_pos] if span_pos < len(spans) else None
+            inside = (span is not None
+                      and span["token_start"] <= index < span["token_end"])
+            tok += 1
+            start = base + token["offset"]
+            if inside:
+                entity_class = span["type"].strip("<>").replace("_", r"\_")
+                if index == span["token_start"]:
+                    span["_ient"] = ient
+                    span["_coords"] = (par, tok)
+                    if span.get("id") is not None:
+                        dest_by_xml_id[str(span["id"])] = (
+                            par, tok, ient, span["type"])
+                    if span.get("corresp"):
+                        sources.append((par, tok, span["corresp"], ient,
+                                        span["type"]))
+                    ient += 1
+                mark = span["_ient"]
+                rows[(par, tok)] = [start, start + len(text), text, section,
+                                    f"*[{mark}]", f"{entity_class}[{mark}]"]
+            else:
+                rows[(par, tok)] = [start, start + len(text), text, section,
+                                    "_", "_"]
+        base += len(paragraph["text"]) + 1  # the reference's inter-par +1
+
+    # second pass: relations on the destination's first token
+    for par, tok, corresp, source_ient, source_type in sources:
+        for pointer in corresp.split(","):
+            target = pointer.strip().replace("#", "")
+            if target not in dest_by_xml_id:
+                continue
+            dpar, dtok, dest_ient, dest_type = dest_by_xml_id[target]
+            name = _webanno_relationship_name(source_type, dest_type)
+            location = f"{par}-{tok}[{source_ient}_{dest_ient}]"
+            if (dpar, dtok) in links:
+                links[(dpar, dtok)][0] += f"|{name}"
+                links[(dpar, dtok)][1] += f"|{location}"
+            else:
+                links[(dpar, dtok)] = [name, location]
+
+    for par_index in range(len(paragraphs)):
+        par = par_index + 1
+        lines.append(f"#Text={texts[par_index]}")
+        tok = 1
+        while (par, tok) in rows:
+            s, e, token_text, section, extra, tag = rows[(par, tok)]
+            name, location = links.get((par, tok), ["_", "_"])
+            lines.append(
+                f"{par}-{tok}\t{s}-{e}\t{token_text}\t{section}\t{extra}"
+                f"\t{tag}\t{name}\t{location}\t")
+            tok += 1
+        if par_index != len(paragraphs) - 1:
+            lines.append("")
+    return "\n".join(lines) + "\n"
+
+
+def write_webanno(tei_df: DataFrame, path: str) -> None:
+    """Distributed S5 sink over ``read_tei`` output: one TSV per document,
+    built inside ``applyInPandas`` (per-doc grouping is the natural unit —
+    a document's TSV needs global offsets across its paragraphs), written
+    as text files partitioned by document."""
+    import pandas as pd
+
+    from .kernel.metrics import tokenize_chunk
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("para_idx")
+        paragraphs = []
+        for _, row in pdf.iterrows():
+            raw_spans = row["spans"]  # numpy array under Arrow, not a list
+            spans = ([dict(span) for span in raw_spans]
+                     if raw_spans is not None else [])
+            tokens, _ = tokenize_chunk(row["text"], 0)
+            paragraphs.append({
+                "text": row["text"], "section": row["section"],
+                "tokens": tokens, "spans": spans,
+            })
+        return pd.DataFrame({
+            "doc_id": [pdf["doc_id"].iloc[0]],
+            "tsv": [webanno_tsv_document(paragraphs)],
+        })
+
+    (tei_df.groupBy("doc_id")
+     .applyInPandas(build, schema="doc_id string, tsv string")
+     .write.mode("overwrite").partitionBy("doc_id").text(path))

@@ -56,3 +56,60 @@ def test_match_rows_by_path():
     out = match_rows(rows, reference_map)
     assert out[0][3] == "Strict Matching"
     assert out[1][3] is None
+
+
+def test_compute_metrics_all_types_and_counters():
+    from material_parsers_spark.kernel.linker import (
+        MATERIAL_TC_TYPE, TC_PRESSURE_TYPE)
+    from material_parsers_spark.kernel.metrics import (
+        compute_counters_by_type, compute_metrics)
+
+    predicted = [(1, 2, MATERIAL_TC_TYPE), (3, 4, MATERIAL_TC_TYPE),
+                 (6, 7, MATERIAL_TC_TYPE)]
+    expected = [(2, 1, MATERIAL_TC_TYPE), (3, 4, TC_PRESSURE_TYPE),
+                (6, 7, MATERIAL_TC_TYPE)]
+
+    out = compute_metrics(expected, predicted)
+    # reference fixture values (tests/test_linking_evaluation.py)
+    mt = out["labels"][MATERIAL_TC_TYPE]
+    assert mt["precision"] == 0.6666666666666666
+    assert mt["recall"] == 1.0
+    assert mt["f1"] == 0.8
+    assert set(out["labels"]) == {
+        MATERIAL_TC_TYPE, TC_PRESSURE_TYPE, "<tcValue-me_method>"}
+
+    counters = compute_counters_by_type(expected, predicted,
+                                        MATERIAL_TC_TYPE)
+    assert counters == {"num_correct": 2, "num_wrong": 1,
+                        "num_expected": 2}
+
+
+def test_aggregate_micro_macro_and_report():
+    from material_parsers_spark.kernel.metrics import (
+        aggregate_micro_macro, get_report)
+
+    per_file_counters = [
+        {"num_correct": 2, "num_wrong": 1, "num_expected": 2},
+        {"num_correct": 0, "num_wrong": 0, "num_expected": 2},
+    ]
+    per_file_metrics = [
+        {"precision": 2 / 3, "recall": 1.0, "f1": 0.8, "support": 2},
+        {"precision": 0, "recall": 0, "f1": 0, "support": 2},
+    ]
+    agg = aggregate_micro_macro(per_file_counters, per_file_metrics)
+    assert agg["avg_macro_precision"] == (2 / 3) / 2
+    assert agg["avg_macro_recall"] == 0.5
+    assert agg["avg_micro_precision"] == 2 / 3
+    assert agg["avg_micro_recall"] == 0.5
+    assert abs(agg["avg_micro_f1"] - 2 * (2/3) * 0.5 / ((2/3) + 0.5)) < 1e-12
+    assert agg["avg_support"] == 4
+
+    report = get_report(
+        {"labels": {"<material-tcValue>":
+                    {"precision": 2 / 3, "recall": 1.0, "f1": 0.8,
+                     "support": 2}},
+         "micro": {"precision": 2 / 3, "recall": 0.5, "f1": 0.57}},
+        include_avgs=["micro"])
+    assert "precision" in report and "<material-tcValue>" in report
+    assert "all (micro avg.)" in report
+    assert "0.67" in report and "0.80" in report

@@ -54,3 +54,65 @@ def test_sinks_roundtrip(spark, extracted):
                                "span_type", "offset_start", "offset_end"]
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_webanno_tsv_document_golden():
+    """S5 golden: column layout, global offsets (+1 between paragraphs),
+    per-entity marks, and relations on the destination's first token,
+    pinned to the reference converter's emission
+    (`converters/xml2tsv/xml2tsv.py:17-207`)."""
+    from material_parsers_spark.sinks import webanno_tsv_document
+    from material_parsers_spark.sources.tei import parse_tei_paragraphs
+
+    xml = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body>\n'
+        '<p>The <rs type="material" xml:id="m1">MgB 2</rs> shows '
+        '<rs type="tcValue" corresp="#m1" xml:id="t1">39 K</rs>.</p>\n'
+        '</body></text></TEI>'
+    )
+    paragraphs, _, _ = parse_tei_paragraphs(xml)
+    tsv = webanno_tsv_document(paragraphs)
+    lines = tsv.splitlines()
+    assert lines[0] == "#FORMAT=WebAnno TSV 3.2"
+    assert lines[3] == ("#T_RL=webanno.custom.Supercon_link|relationships|"
+                        "BT_webanno.custom.Supercon")
+    assert "#Text=The MgB 2 shows 39 K." in lines
+    body = [l for l in lines if l and l[0].isdigit()]
+    assert body[0] == "1-1\t0-3\tThe\tbody[10000]\t_\t_\t_\t_\t"
+    # relation lands on the destination (material) first token, naming the
+    # source coordinates and [sourceEnt_destEnt]
+    assert body[1] == ("1-2\t4-7\tMgB\tbody[10000]\t*[1]\tmaterial[1]\t"
+                       "tcValue-material\t1-5[2_1]\t")
+    assert body[4] == "1-5\t16-18\t39\tbody[10000]\t*[2]\ttcValue[2]\t_\t_\t"
+
+
+def test_webanno_relationship_name_raises_like_reference():
+    import pytest
+
+    from material_parsers_spark.sinks import _webanno_relationship_name
+
+    assert _webanno_relationship_name("<tcValue>", "<material>") == \
+        "tcValue-material"
+    assert _webanno_relationship_name("<tcValue>", "<me_method>") == \
+        "tcValue-me_method"
+    assert _webanno_relationship_name("<pressure>", "<tcValue>") == \
+        "tcValue-pressure"
+    with pytest.raises(ValueError):
+        _webanno_relationship_name("<material>", "<tcValue>")
+
+
+def test_write_webanno_distributed(spark, tmp_path):
+    from material_parsers_spark.sinks import write_webanno
+    from material_parsers_spark.sources.tei import (
+        read_tei, synthesize_tei_corpus)
+
+    corpus = str(tmp_path / "tei")
+    synthesize_tei_corpus(corpus, n_docs=3, paragraphs_per_doc=2)
+    out = str(tmp_path / "webanno")
+    write_webanno(read_tei(spark, corpus + "/*.xml"), out)
+
+    produced = list((tmp_path / "webanno").rglob("*.txt"))
+    texts = [p.read_text() for p in produced]
+    combined = "\n".join(texts)
+    assert combined.count("#FORMAT=WebAnno TSV 3.2") == 3
+    assert "tcValue-material" in combined
