@@ -494,34 +494,13 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
             .select("doc_id", shingles.alias("shingles")))
 
 
-@_register("dedup_minhash_lsh", f"""
-WITH shingled AS ({_SHINGLES_SQL}),
-sigs AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 7), s ->
-             list_min(list_transform(shingles, x ->
-                 {_H_SQL.format(expr="x || ':' || s")}))) AS sig
-  FROM shingled),
-bands AS (
-  SELECT doc_id, b,
-         sig[2*b + 1] || ':' || sig[2*b + 2] AS band_key
-  FROM sigs, generate_series(0, 3) t(b))
-SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-       cast(count(DISTINCT a.b) AS bigint) AS n_shared_bands
-FROM bands a JOIN bands c ON a.band_key = c.band_key AND a.b = c.b
-WHERE a.doc_id < c.doc_id
-GROUP BY 1, 2
-""")
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (k=8) + LSH banding (4 bands x 2 rows): shingle -> minhash ->
-    band bucket -> self-join on band key. The join key is the band hash, so
-    at scale the shuffle is on small keys, never on document text.
-
-    The signature array is exploded to (doc_id, pos, hash) rows BEFORE band
-    keys are assembled — Catalyst inlines array expressions on reuse, so
-    keeping the md5 sweep behind a Generate node guarantees it runs exactly
-    once per document rather than once per band reference."""
-    docs = _read(spark, sf_dir, "documents")
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, b, band_key) rows: shingle -> 8 minhashes -> 4 bands x 2
+    rows. The signature array is exploded to (doc_id, pos, hash) rows
+    BEFORE band keys are assembled — Catalyst inlines array expressions
+    on reuse, so keeping the md5 sweep behind a Generate node guarantees
+    it runs exactly once per document rather than once per band
+    reference."""
     shingled = _shingles_df(docs)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
@@ -533,7 +512,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig_rows = shingled.select(
         "doc_id", F.posexplode(sig).alias("pos", "h"))
-    bands = (
+    return (
         sig_rows
         .withColumn("b", (F.col("pos") / 2).cast("int"))
         .groupBy("doc_id", "b")
@@ -545,13 +524,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("pos") % 2 == 1, F.col("h"))).cast("string"),
         ).alias("band_key"))
     )
+
+
+@_register("dedup_minhash_lsh", f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7), s ->
+             list_min(list_transform(shingles, x ->
+                 {_H_SQL.format(expr="x || ':' || s")}))) AS sig
+  FROM shingled),
+bands AS (
+  SELECT doc_id, b,
+         sig[2*b + 1] || ':' || sig[2*b + 2] AS band_key
+  FROM sigs, generate_series(0, 3) t(b)),
+buckets AS (
+  SELECT b, band_key, list_sort(list(doc_id))[1:32] AS members
+  FROM bands GROUP BY 1, 2 HAVING count(*) > 1)
+SELECT p.doc_a, p.doc_b, cast(count(DISTINCT bu.b) AS bigint)
+       AS n_shared_bands
+FROM buckets bu,
+     LATERAL (SELECT a.m AS doc_a, c.m AS doc_b
+              FROM unnest(bu.members) a(m), unnest(bu.members) c(m)
+              WHERE a.m < c.m) p
+GROUP BY 1, 2
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8) + LSH banding (4 bands x 2 rows): shingle -> minhash ->
+    band bucket -> bounded in-bucket pair expansion. The join key is the
+    band hash, so at scale the shuffle is on small keys, never on
+    document text."""
+    docs = _read(spark, sf_dir, "documents")
+    bands = _minhash_bands(docs)
     # pairs via groupBy(band bucket) + in-bucket combination expansion
     # instead of a self-join: the md5 sweep lineage is evaluated ONCE (a
     # self-join re-executes it on both sides), and the shuffle key is the
-    # tiny band hash. Bucket membership lists are small by construction
-    # (bands are 128-bit keys), so the quadratic expansion is bounded.
+    # tiny band hash. Members are CAPPED at 32 per bucket (slice of the
+    # sorted list) so a mass-duplicate cluster — thousands of identical
+    # web documents landing in one band bucket — cannot explode O(n^2)
+    # pairs inside a single task; at-scale dedup goes through
+    # dedup_minhash_components, which needs only O(n) representative
+    # edges per bucket and no cap.
+    # rank-then-collect: the cap is applied BEFORE any list materializes
+    # (a bounded window filter), so no task ever holds a full
+    # mass-duplicate bucket in memory; the window and the groupBy share
+    # the same key, so AQE reuses one Exchange
+    bucket_window = Window.partitionBy("b", "band_key").orderBy("doc_id")
     buckets = (
-        bands.groupBy("b", "band_key")
+        bands
+        .withColumn("rn", F.row_number().over(bucket_window))
+        .where(F.col("rn") <= 32)
+        .groupBy("b", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
         .where(F.size("members") > 1)
     )
@@ -572,6 +595,97 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("pair.doc_b").alias("doc_b"))
         .agg(F.countDistinct("b").cast("long").alias("n_shared_bands"))
     )
+
+
+_MINHASH_BANDS_SQL = f"""
+  SELECT doc_id, b, sig[2*b + 1] || ':' || sig[2*b + 2] AS band_key
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(0, 7), s ->
+               list_min(list_transform(shingles, x ->
+                   {_H_SQL.format(expr="x || ':' || s")}))) AS sig
+    FROM ({_SHINGLES_SQL})) sigs,
+  generate_series(0, 3) t(b)
+"""
+
+
+@_register("dedup_minhash_components", f"""
+WITH RECURSIVE
+bands AS ({_MINHASH_BANDS_SQL}),
+reps AS (SELECT b, band_key, min(doc_id) AS rep
+         FROM bands GROUP BY 1, 2 HAVING count(*) > 1),
+edges AS (SELECT DISTINCT bands.doc_id AS a, reps.rep AS b_
+          FROM bands JOIN reps USING (b, band_key)
+          WHERE bands.doc_id <> reps.rep),
+undirected AS (SELECT a, b_ FROM edges UNION SELECT b_, a FROM edges),
+nodes AS (SELECT DISTINCT a AS doc FROM undirected),
+reach(src, node) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.src, u.b_ FROM reach r JOIN undirected u ON r.node = u.a)
+SELECT src AS doc_id, cast(min(node) AS bigint) AS cluster_id
+FROM reach GROUP BY src
+""")
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path MinHash dedup: connected components over REPRESENTATIVE
+    edges instead of all-pairs expansion.
+
+    Each band bucket emits only (member -> min member) edges — O(n) per
+    bucket, so a mass-duplicate cluster of any size costs linear work —
+    then iterative min-label propagation (the standard distributed
+    connected-components loop; O(log diameter) rounds, each one
+    hash-shuffle on doc ids, lineage cut per round via localCheckpoint)
+    assigns every clustered doc its component's smallest doc_id. Keep one
+    doc per cluster_id downstream to dedup. The DuckDB oracle computes
+    the same components with a recursive transitive closure."""
+    docs = _read(spark, sf_dir, "documents")
+    bands = _minhash_bands(docs)
+    reps = (
+        bands.groupBy("b", "band_key")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .drop("n")
+    )
+    edges = (
+        bands.join(reps, ["b", "band_key"])
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("a"), F.col("rep").alias("b_"))
+        .distinct()
+    )
+    undirected = edges.union(
+        edges.select(F.col("b_").alias("a"), F.col("a").alias("b_"))
+    ).distinct().localCheckpoint()
+
+    labels = (undirected.select(F.col("a").alias("doc"))
+              .distinct()
+              .withColumn("label", F.col("doc")))
+    for _ in range(15):
+        neighbor_min = (
+            undirected.join(labels, undirected["b_"] == labels["doc"])
+            .groupBy("a").agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min,
+                        labels["doc"] == neighbor_min["a"], "left")
+            .select(
+                "doc",
+                F.least(F.col("label"),
+                        F.coalesce("nbr_label", F.col("label")))
+                .alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.doc") == F.col("l.doc"))
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"))
 
 
 @_register("dedup_ngram_jaccard", f"""
@@ -716,45 +830,138 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3).select("q_id", "vec_id", "cosine"))
 
 
+# sign-LSH hyperplanes: L=4 tables x 16 bits x 64 dims of +-1 weights,
+# derived from md5("t:b:d") so the SAME matrix is reproducible inside the
+# DuckDB oracle (engine-independent md5). 16-bit signatures put N vectors
+# into ~65k buckets per table — the candidate set is genuinely sublinear,
+# and 4 OR'd tables recover the recall a single table loses.
+_ANN_TABLES = 4
+_ANN_BITS = 16
+_ANN_DIMS = 64
+
+
+def _ann_plane(t: int, b: int) -> list:
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{t}:{b}:{d}".encode())
+                   .hexdigest()[:15], 16) % 2 == 0 else -1.0
+        for d in range(_ANN_DIMS)
+    ]
+
+
+_ANN_PLANES_SQL = f"""
+  SELECT t, b,
+         list_transform(generate_series(0, {_ANN_DIMS - 1}), d ->
+             CASE WHEN {_H_SQL.format(
+                 expr="t::varchar || ':' || b::varchar || ':' || d::varchar")}
+                  % 2 = 0
+                  THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS w
+  FROM generate_series(0, {_ANN_TABLES - 1}) tt(t),
+       generate_series(0, {_ANN_BITS - 1}) bb(b)
+"""
+
+
 @_register("similarity_ann_lsh", f"""
-WITH buckets AS (
-  SELECT vec_id, embedding,
-         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
-          CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
-          CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
-  FROM embeddings),
-queries AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket
-            FROM buckets WHERE vec_id < 5),
+WITH planes AS ({_ANN_PLANES_SQL}),
+sigs AS (
+  SELECT e.vec_id, p.t,
+         cast(sum(CASE WHEN list_reduce(
+                 list_transform(generate_series(1, {_ANN_DIMS}),
+                                i -> e.embedding[i]::DOUBLE * p.w[i]),
+                 (a, b) -> a + b) > 0
+             THEN (1 << p.b) ELSE 0 END) AS bigint) AS bucket
+  FROM embeddings e, planes p GROUP BY e.vec_id, p.t),
+qsigs AS (SELECT vec_id AS q_id, t, bucket FROM sigs WHERE vec_id < 5),
+qprobes AS (
+  SELECT q_id, t, bucket FROM qsigs
+  UNION ALL
+  SELECT q_id, t, xor(bucket, (1 << b)) AS bucket
+  FROM qsigs, generate_series(0, {_ANN_BITS - 1}) bb(b)),
+qvecs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < 5),
+cands AS (
+  SELECT DISTINCT q.q_id, s.vec_id
+  FROM qprobes q JOIN sigs s ON q.t = s.t AND q.bucket = s.bucket
+  WHERE s.vec_id <> q.q_id),
 scored AS (
-  SELECT q.q_id, b.vec_id,
-         {_COSINE_SQL.format(q='q.q_vec', e='b.embedding')} AS cosine
-  FROM queries q JOIN buckets b USING (bucket)
-  WHERE b.vec_id <> q.q_id)
+  SELECT c.q_id, c.vec_id,
+         {_COSINE_SQL.format(q='qv.q_vec', e='e.embedding')} AS cosine
+  FROM cands c
+  JOIN qvecs qv USING (q_id)
+  JOIN embeddings e ON c.vec_id = e.vec_id)
 SELECT q_id, vec_id, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
                                ORDER BY cosine DESC, vec_id ASC) AS rn
   FROM scored) WHERE rn <= 3
 """)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN: candidates co-partitioned by bucket, so the
-    scale path joins on a small bucket key instead of a cross join."""
-    emb = _read(spark, sf_dir, "embeddings")
-    bucket = (
-        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
-        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
-        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
-    )
-    buckets = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    queries = buckets.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
-        "bucket")
+    """Multi-table sign-LSH ANN (the 100 TB shape).
 
-    joined = F.broadcast(queries).join(buckets, "bucket") \
+    Signatures are 16-bit bit-packed sign patterns against 4 independent
+    hyperplane tables, computed as pure column expressions (one
+    whole-stage-codegen'd projection per row, no shuffle). A vector is a
+    candidate when it shares a (table, bucket) pair with a query —
+    multi-table OR-probing. Candidate sets shrink ~N/2^16 per table, so
+    the expensive cosine runs on a sublinear slice; the only shuffles are
+    the candidate-set join on vec_id and the final per-query top-k. Dot
+    products are left-fold doubles in index order on both engines so the
+    sign bits agree bit-for-bit.
+
+    Recall on the driver's ISOTROPIC-RANDOM embeddings is data-bounded
+    (nearest neighbors sit at ~68 degrees; any sublinear LSH misses them
+    by information theory) — tests/test_ann_lsh.py quantifies the bound
+    and proves recall 1.0 with a sublinear candidate set on clustered
+    vectors, the regime real embedding corpora live in."""
+    emb = _read(spark, sf_dir, "embeddings")
+
+    table_structs = []
+    for t in range(_ANN_TABLES):
+        bucket = F.lit(0).cast("long")
+        for b in range(_ANN_BITS):
+            plane = F.array(*[F.lit(w) for w in _ann_plane(t, b)])
+            dot = F.aggregate(
+                F.zip_with(F.col("embedding"), plane,
+                           lambda x, w: x.cast("double") * w),
+                F.lit(0.0), lambda acc, v: acc + v)
+            bucket = bucket + F.when(dot > 0, F.lit(1 << b).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        table_structs.append(F.struct(
+            F.lit(t).cast("long").alias("t"), bucket.alias("bucket")))
+
+    sigs = emb.select(
+        "vec_id", F.explode(F.array(*table_structs)).alias("tb")
+    ).select("vec_id", F.col("tb.t").alias("t"),
+             F.col("tb.bucket").alias("bucket"))
+
+    qsigs = sigs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "t", "bucket")
+    # Hamming-1 multi-probe: each query also probes the 16 one-bit-flip
+    # neighbor buckets per table, recovering recall without more tables
+    probe_offsets = F.array(*[F.lit(0)]
+                            + [F.lit(1 << b) for b in range(_ANN_BITS)])
+    qprobes = qsigs.select(
+        "q_id", "t",
+        F.explode(F.transform(
+            probe_offsets,
+            lambda m: F.col("bucket").bitwiseXOR(m.cast("long")))
+        ).alias("bucket"))
+    qvecs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    cands = (
+        sigs.join(F.broadcast(qprobes), ["t", "bucket"])
         .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id").distinct()
+    )
+    scored = (
+        cands.join(F.broadcast(qvecs), "q_id")
+        .join(emb, "vec_id")
+    )
     cosine = F.round(
         _dot(F.col("q_vec"), F.col("embedding"))
         / (_norm(F.col("q_vec")) * _norm(F.col("embedding"))), 6)
-    scored = joined.select("q_id", "vec_id", cosine.alias("cosine"))
+    scored = scored.select("q_id", "vec_id", cosine.alias("cosine"))
     window = Window.partitionBy("q_id").orderBy(
         F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rn", F.row_number().over(window))

@@ -1,0 +1,74 @@
+"""Mass-duplicate stress fixture: 1,000 identical documents (the web-data
+worst case) through both MinHash queries, with the DuckDB oracle run on
+the same parquet — verifying the bounded pair expansion and the O(n)
+representative-edge components path stay correct AND bounded."""
+
+import duckdb
+import pytest
+
+from material_parsers_spark.pipeline.session import build_session
+from material_parsers_spark.queries import ORACLE_SQL, SPARK_QUERIES
+from tools.check_oracles import value_hash
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return build_session(app_name="dedup-stress", master="local[8]",
+                         shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def stress_dir(spark, tmp_path_factory):
+    """documents.parquet with 1,000 byte-identical docs + 50 distinct."""
+    base = tmp_path_factory.mktemp("stress")
+    rows = [(i, "the exact same duplicated web page text appears here "
+                "again and again across the crawl") for i in range(1000)]
+    # every shingle of a distinct doc embeds i, so none are near-dups
+    rows += [(1000 + i,
+              f"doc{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.write.mode("overwrite").parquet(str(base / "documents.parquet"))
+    return str(base)
+
+
+def _oracle_rows(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    # Spark writes documents.parquet as a directory of part files
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'")
+    result = con.execute(sql)
+    return result.fetchall(), [d[0] for d in result.description]
+
+
+def test_minhash_pairs_capped_and_oracle_green(spark, stress_dir):
+    df = SPARK_QUERIES["dedup_minhash_lsh"](spark, stress_dir)
+    rows = df.collect()
+    # 1,000 identical docs share every band bucket; uncapped expansion
+    # would emit C(1000,2) = 499,500 pairs in ONE task. The 32-member cap
+    # bounds it to C(32,2) = 496 pairs (the 50 distinct docs share no
+    # shingles, so they pair with nothing).
+    assert len(rows) == 496
+    assert all(r.n_shared_bands == 4 for r in rows)
+
+    expected, columns = _oracle_rows(ORACLE_SQL["dedup_minhash_lsh"],
+                                     stress_dir)
+    assert len(expected) == 496
+    assert value_hash([tuple(r) for r in rows], df.columns) == \
+        value_hash(expected, columns)
+
+
+def test_minhash_components_cover_the_full_cluster(spark, stress_dir):
+    """The components path has NO cap and still costs O(n): all 1,000
+    duplicates resolve to one cluster labeled by the smallest doc_id."""
+    df = SPARK_QUERIES["dedup_minhash_components"](spark, stress_dir)
+    rows = df.collect()
+    assert len(rows) == 1000  # every duplicate is clustered, none dropped
+    assert {r.cluster_id for r in rows} == {0}
+    assert {r.doc_id for r in rows} == set(range(1000))
+
+    expected, columns = _oracle_rows(
+        ORACLE_SQL["dedup_minhash_components"], stress_dir)
+    assert value_hash([tuple(r) for r in rows], df.columns) == \
+        value_hash(expected, columns)
