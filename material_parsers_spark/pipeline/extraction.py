@@ -131,24 +131,36 @@ def ordered_output(extracted: DataFrame) -> DataFrame:
 
 def extract_ordered(turns: DataFrame,
                     patterns: Optional[list] = None,
-                    include_tokens: bool = True) -> DataFrame:
-    """ordered_output with the ordering window applied to the NARROW frame
-    BEFORE the extraction UDF: the shuffle moves (conv_id, turn_idx, text)
-    instead of the full nested extraction payload — at 100TB that is the
-    difference between shuffling ~3 columns and shuffling everything."""
-    window = Window.partitionBy("conv_id").orderBy("turn_idx")
-    spark = turns.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism * 4
+                    include_tokens: bool = True,
+                    dense_turn_idx: bool = True) -> DataFrame:
+    """Per-turn extraction with a stable per-conversation rank.
+
+    ``dense_turn_idx=True`` (the input contract: turn_idx is the dense
+    0-based order within its conversation, which the stable-ordering
+    invariant keys on) derives ``turn_rank = turn_idx + 1`` as a pure
+    column expression — the hot path then has ZERO shuffles: scan ->
+    JVM filter -> Arrow UDF. Input rows are not conversation-grouped at
+    the scan, so skew needs no rebalancing either.
+
+    With ``dense_turn_idx=False`` (sparse/unordered turn_idx) the rank
+    comes from a window over the NARROW (conv_id, turn_idx, text) frame
+    before the UDF — the shuffle moves ~3 columns, never the nested
+    extraction payload — followed by a round-robin rebalance so no
+    straggler task carries a whole hot conversation through Python."""
     narrow = (
         turns.select("conv_id", "turn_idx", "text")
         .where(F.col("text").isNotNull() & (F.length("text") > 0))
-        .withColumn("turn_rank", F.row_number().over(window))
-        # the window hash-partitions by conv_id, so hot conversations pile
-        # into single tasks; the UDF stage is the expensive one — rebalance
-        # the narrow rows round-robin (cheap shuffle) so no straggler
-        # carries a whole hot conversation through Python
-        .repartition(n_parts)
     )
+    if dense_turn_idx:
+        narrow = narrow.withColumn(
+            "turn_rank", (F.col("turn_idx") + F.lit(1)).cast("int"))
+    else:
+        window = Window.partitionBy("conv_id").orderBy("turn_idx")
+        n_parts = turns.sparkSession.sparkContext.defaultParallelism * 4
+        narrow = (
+            narrow.withColumn("turn_rank", F.row_number().over(window))
+            .repartition(n_parts)
+        )
     return run_extraction(narrow, patterns,
                           include_tokens=include_tokens).select(
         "conv_id", "turn_idx", "turn_rank",
@@ -173,8 +185,8 @@ def span_counts_per_conversation(extracted: DataFrame,
         salted.groupBy("conv_id", "salt")
         .agg(
             F.count("*").alias("turns_partial"),
-            F.sum(F.size("extraction.spans")).alias("spans_partial"),
-            F.sum(F.size("extraction.materials")).alias("materials_partial"),
+            F.sum(F.size("spans")).alias("spans_partial"),
+            F.sum(F.size("materials")).alias("materials_partial"),
         )
     )
     return (

@@ -105,13 +105,15 @@ def test_turn_rank_follows_turn_idx(spark, turns):
 
 def test_span_counts_salted_agg_matches_direct(spark, turns):
     from pyspark.sql import functions as F
-    extracted = run_extraction(turns).cache()
+
+    from material_parsers_spark.pipeline.extraction import extract_ordered
+    extracted = extract_ordered(turns, include_tokens=False).cache()
     salted = span_counts_per_conversation(extracted, salt_buckets=8)
     direct = (
         extracted.groupBy("conv_id")
         .agg(F.count("*").alias("n_turns"),
-             F.sum(F.size("extraction.spans")).alias("n_spans"),
-             F.sum(F.size("extraction.materials")).alias("n_materials"))
+             F.sum(F.size("spans")).alias("n_spans"),
+             F.sum(F.size("materials")).alias("n_materials"))
     )
     assert sorted(salted.collect()) == sorted(direct.collect())
     extracted.unpersist()
