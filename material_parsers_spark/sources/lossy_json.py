@@ -5,6 +5,14 @@ gzip-JSONL corpus is read with `spark.read.json` (gzip is transparent), and
 the section extraction — abstract + body paragraphs, split on
 ``sentence_spans`` when present, paragraphs of <= 2 chars dropped — is pure
 column algebra over the nested arrays (no Python in the path).
+
+Documented edge-case divergences from the reference converter:
+- a paragraph whose ``sentence_spans`` is present but EMPTY falls through
+  to the whole-paragraph branch here; the reference iterates the empty
+  list and emits nothing (drops the paragraph);
+- the reference's body_text sentence_spans branch crashes on its own
+  input shape (``paragraph['end']`` indexing into a str); this reader
+  treats body and abstract paragraphs uniformly instead.
 """
 
 from __future__ import annotations

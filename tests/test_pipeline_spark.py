@@ -154,3 +154,43 @@ def test_plan_has_pushed_filter_and_pruned_schema(spark, turns, tmp_path):
     plan = pipeline._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(text)" in plan
     assert "role" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_checkpoint_crash_window_reconciles_orphans(spark, turns):
+    """Crash between the parquet commit and the manifest write: the
+    orphan bucket data must be deleted and reprocessed on resume — the
+    final output has no duplicate and no missing turns."""
+    import os
+
+    from material_parsers_spark.pipeline.checkpoint import reconcile_orphans
+
+    workdir = tempfile.mkdtemp(prefix="ckpt-crash-")
+    out_dir = f"{workdir}/out"
+    manifest_dir = f"{workdir}/manifest"
+    try:
+        first = run_with_checkpoint(turns, out_dir, manifest_dir,
+                                    run_id="run1", n_buckets=8)
+        assert first["orphans_reconciled"] == []
+
+        # simulate the crash: delete ONE bucket's manifest after its
+        # parquet committed — exactly the window ADVICE flagged
+        victims = [n for n in os.listdir(manifest_dir)
+                   if n.startswith("bucket-")][:2]
+        victim_buckets = sorted(
+            int(v[len("bucket-"):-len(".json")]) for v in victims)
+        for victim in victims:
+            os.remove(os.path.join(manifest_dir, victim))
+
+        resumed = run_with_checkpoint(turns, out_dir, manifest_dir,
+                                      run_id="run2", n_buckets=8)
+        assert resumed["orphans_reconciled"] == victim_buckets
+        assert sorted(resumed["buckets_processed"]) == victim_buckets
+
+        written = spark.read.parquet(out_dir)
+        assert written.count() == N_TURNS
+        assert written.select("conv_id", "turn_idx").distinct().count() \
+            == N_TURNS
+        # reconcile is idempotent once manifests are complete
+        assert reconcile_orphans(out_dir, manifest_dir) == []
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
