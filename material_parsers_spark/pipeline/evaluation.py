@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Iterator, List
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PREDICTED_SCHEMA = (
@@ -168,3 +168,54 @@ def evaluate_linking(tei_df: DataFrame,
         F.round("macro_f1", 6).alias("macro_f1"),
         F.col("expected").cast("long").alias("support"),
     )
+
+
+def corpus_statistics(tei_df: DataFrame) -> DataFrame:
+    """A1 (full): the reference's per-document dataset analysis
+    (`commons/dataset_analysis.py:28-100`) as one distributed aggregation
+    — sentences, tokens, entity mentions, distinct classes, and
+    positive/negative sentence counts (a sentence is positive when it
+    carries at least one entity)."""
+    per_para = tei_df.select(
+        "doc_id",
+        F.col("n_tokens").alias("tokens"),
+        F.size("spans").alias("n_entities"),
+    )
+    return (
+        per_para.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("sentences"),
+            F.sum("tokens").cast("long").alias("tokens"),
+            F.sum("n_entities").cast("long").alias("entities"),
+            F.sum(F.when(F.col("n_entities") > 0, 1).otherwise(0))
+            .cast("long").alias("positive_examples"),
+            F.sum(F.when(F.col("n_entities") == 0, 1).otherwise(0))
+            .cast("long").alias("negative_examples"),
+        )
+    )
+
+
+def class_content_distribution(tei_df: DataFrame) -> DataFrame:
+    """A1 per-class content distribution: for every entity class, the
+    mention count, distinct-surface count, and the modal surface form
+    (ties broken lexicographically) — the compact projection of the
+    reference's per-class content_distribution dict."""
+    mentions = tei_df.select(
+        F.explode("spans").alias("span")
+    ).select(
+        F.col("span.type").alias("entity_class"),
+        F.col("span.text").alias("content"),
+    )
+    by_content = mentions.groupBy("entity_class", "content").agg(
+        F.count("*").alias("n"))
+    window = Window.partitionBy("entity_class").orderBy(
+        F.desc("n"), F.asc("content"))
+    ranked = by_content.withColumn("rn", F.row_number().over(window))
+    totals = by_content.groupBy("entity_class").agg(
+        F.sum("n").cast("long").alias("n_mentions"),
+        F.count("*").cast("long").alias("n_distinct_contents"),
+    )
+    top = ranked.where(F.col("rn") == 1).select(
+        "entity_class", F.col("content").alias("top_content"),
+        F.col("n").cast("long").alias("top_count"))
+    return totals.join(top, "entity_class")

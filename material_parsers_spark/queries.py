@@ -180,18 +180,73 @@ def linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     linker provably mislinks — so the metrics (0.75 across the board) pin
     the full reader+linker+join+aggregation chain against a constant
     oracle, not a trivial all-ones result."""
+    from .pipeline.evaluation import evaluate_linking
+    from .sources.tei import read_tei
+
+    return evaluate_linking(read_tei(spark, _tei_eval_corpus() + "/*.xml"))
+
+
+def _tei_eval_corpus() -> str:
+    """Shared deterministic TEI corpus for the TEI-sourced queries."""
     import os
     import tempfile
 
-    from .pipeline.evaluation import evaluate_linking
-    from .sources.tei import read_tei, synthesize_tei_corpus
+    from .sources.tei import synthesize_tei_corpus
 
     corpus = os.path.join(tempfile.gettempdir(),
                           "material_parsers_spark_tei_eval_v1")
     marker = os.path.join(corpus, "doc-00039.tei.xml")
     if not os.path.exists(marker):
         synthesize_tei_corpus(corpus, n_docs=40, paragraphs_per_doc=4)
-    return evaluate_linking(read_tei(spark, corpus + "/*.xml"))
+    return corpus
+
+
+@_register("corpus_statistics", """
+SELECT cast(40 AS bigint) AS n_docs,
+       cast(200 AS bigint) AS sentences,
+       cast(4040 AS bigint) AS tokens,
+       cast(360 AS bigint) AS entities,
+       cast(160 AS bigint) AS positive_examples,
+       cast(40 AS bigint) AS negative_examples
+""")
+def corpus_statistics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (full) over the deterministic TEI corpus: sentence/token/entity
+    and positive-negative sentence counts, corpus-rolled. The constants
+    are frozen goldens of the deterministic reader+analysis chain (40
+    docs x [1 title + 3 simple + 1 decoy paragraphs])."""
+    from .pipeline.evaluation import corpus_statistics
+    from .sources.tei import read_tei
+
+    per_doc = corpus_statistics(
+        read_tei(spark, _tei_eval_corpus() + "/*.xml"))
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("sentences").alias("sentences"),
+        F.sum("tokens").alias("tokens"),
+        F.sum("entities").alias("entities"),
+        F.sum("positive_examples").alias("positive_examples"),
+        F.sum("negative_examples").alias("negative_examples"),
+    )
+
+
+@_register("class_content_distribution", """
+SELECT * FROM (VALUES
+  ('<material>', cast(200 AS bigint), cast(5 AS bigint),
+   'CsFe2As2 ', cast(40 AS bigint)),
+  ('<tcValue>', cast(160 AS bigint), cast(90 AS bigint),
+   '12 K ', cast(3 AS bigint))
+) v(entity_class, n_mentions, n_distinct_contents, top_content, top_count)
+""")
+def class_content_distribution_query(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """A1 per-class content distribution over the deterministic TEI
+    corpus (trailing spaces in the top contents come from the
+    reference's tag-space quirk, replicated by the reader)."""
+    from .pipeline.evaluation import class_content_distribution
+    from .sources.tei import read_tei
+
+    return class_content_distribution(
+        read_tei(spark, _tei_eval_corpus() + "/*.xml"))
 
 
 @_register("conversation_span_stats")
