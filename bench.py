@@ -23,12 +23,16 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 HEADLINE = [
-    "extract_materials",      # flagship UDF pipeline
-    "extract_links",          # extraction + linking
+    "extract_materials",      # flagship UDF pipeline (pays the UDF stage)
+    "extract_links",          # linking projection over the shared cache
+    "extract_structures",     # full 5,925-pattern gazetteer rollup
     "conversation_span_stats",  # salted skew-safe rollup
-    "dedup_minhash_lsh",      # MinHash+LSH near-dup
+    "linking_eval",           # TEI corpus -> linker -> micro/macro report
+    "dedup_minhash_lsh",      # MinHash+LSH near-dup (capped buckets)
+    "dedup_minhash_components",  # representative-edge connected components
     "dedup_simhash",          # SimHash fingerprints
     "similarity_topk",        # brute-force ANN baseline
+    "similarity_ann_lsh",     # multi-table sign-LSH + Hamming-1 probes
     "stable_ordering",        # window ordering
     "corpus_rollup",          # grouping sets
 ]
@@ -62,6 +66,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     for name in names:
         best = None
         for _ in range(3 if name == "extract_materials" else 2):
+            if name == "extract_materials":
+                # the flagship must pay the Python UDF stage every rep;
+                # downstream extract_* queries then read the shared cache
+                # (the realistic amortized suite shape)
+                from material_parsers_spark.queries import (
+                    clear_extraction_cache)
+                clear_extraction_cache()
             start = time.time()
             materialize(SPARK_QUERIES[name](spark, sf_dir))
             elapsed = time.time() - start

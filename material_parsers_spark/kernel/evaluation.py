@@ -76,3 +76,27 @@ def match_rows(rows: List[Tuple[str, str, str]],
             kind = match_against_reference(material, tc, reference_map[path])
         out.append((material, tc, path, kind))
     return out
+
+
+def spans_to_markup(paragraph: dict) -> str:
+    """T9: HTML-escaped pseudo-XML markup for a paragraph's spans — the
+    eval-request body builder (`linking_evaluation.py:205-222`),
+    including its trailing-space hoist (a span ending in a space closes
+    the tag BEFORE the space)."""
+    from html import escape
+
+    text = paragraph["text"]
+    output = ""
+    offset = 0
+    for span in paragraph.get("spans", []):
+        output += escape(text[offset:span["offset_start"]])
+        offset = span["offset_start"]
+        output += span["type"].replace(">", f" id='{span['id']}'>")
+        if span["text"].endswith(" "):
+            output += (escape(span["text"][:-1])
+                       + span["type"].replace("<", "</") + " ")
+        else:
+            output += escape(span["text"]) + span["type"].replace("<", "</")
+        offset += len(span["text"])
+    output += escape(text[offset:])
+    return output

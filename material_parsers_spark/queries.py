@@ -981,22 +981,26 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, the regime real embedding corpora live in."""
     emb = _read(spark, sf_dir, "embeddings")
 
-    table_structs = []
-    for t in range(_ANN_TABLES):
-        bucket = F.lit(0).cast("long")
-        for b in range(_ANN_BITS):
-            plane = F.array(*[F.lit(w) for w in _ann_plane(t, b)])
-            dot = F.aggregate(
-                F.zip_with(F.col("embedding"), plane,
-                           lambda x, w: x.cast("double") * w),
-                F.lit(0.0), lambda acc, v: acc + v)
-            bucket = bucket + F.when(dot > 0, F.lit(1 << b).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
-        table_structs.append(F.struct(
-            F.lit(t).cast("long").alias("t"), bucket.alias("bucket")))
+    # ONE SQL expression per table, assembled as text: building this from
+    # 4,096 Column objects costs seconds of driver-side py4j round trips;
+    # the rendered expression is identical to Catalyst either way
+    def dot_sql(t: int, b: int) -> str:
+        plane = ", ".join(f"{w:.1f}D" for w in _ann_plane(t, b))
+        return (f"aggregate(zip_with(embedding, array({plane}), "
+                "(x, w) -> cast(x as double) * w), 0.0D, "
+                "(acc, v) -> acc + v)")
 
+    def bucket_sql(t: int) -> str:
+        bits = " + ".join(
+            f"if({dot_sql(t, b)} > 0, {1 << b}L, 0L)"
+            for b in range(_ANN_BITS))
+        return f"({bits})"
+
+    tables = ", ".join(
+        f"named_struct('t', {t}L, 'bucket', {bucket_sql(t)})"
+        for t in range(_ANN_TABLES))
     sigs = emb.select(
-        "vec_id", F.explode(F.array(*table_structs)).alias("tb")
+        "vec_id", F.explode(F.expr(f"array({tables})")).alias("tb")
     ).select("vec_id", F.col("tb.t").alias("t"),
              F.col("tb.bucket").alias("bucket"))
 
@@ -1088,3 +1092,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         featurize,
         "doc_id long, n_bytes long, content_hash long, n_frames long")
+
+
+def clear_extraction_cache() -> None:
+    """Unpersist and evict every shared extraction frame (bench uses this
+    so the flagship timing pays the Python UDF stage, not a cache read)."""
+    for frame in _EXTRACTED_CACHE.values():
+        frame.unpersist()
+    _EXTRACTED_CACHE.clear()

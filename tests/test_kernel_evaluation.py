@@ -113,3 +113,21 @@ def test_aggregate_micro_macro_and_report():
     assert "precision" in report and "<material-tcValue>" in report
     assert "all (micro avg.)" in report
     assert "0.67" in report and "0.80" in report
+
+
+def test_spans_to_markup_builds_escaped_pseudo_xml():
+    from material_parsers_spark.kernel.evaluation import spans_to_markup
+
+    paragraph = {
+        "text": "The <MgB 2> shows 39 K here.",
+        "spans": [
+            {"id": "a", "type": "<material>", "text": "<MgB 2>",
+             "offset_start": 4, "offset_end": 11},
+            # trailing-space span: the tag closes BEFORE the space
+            {"id": "b", "type": "<tcValue>", "text": "39 K ",
+             "offset_start": 18, "offset_end": 23},
+        ],
+    }
+    out = spans_to_markup(paragraph)
+    assert out == ("The <material id='a'>&lt;MgB 2&gt;</material> shows "
+                   "<tcValue id='b'>39 K</tcValue> here.")
