@@ -548,7 +548,9 @@ _SHINGLES_SQL = """
 
 
 def _shingles_df(docs: DataFrame) -> DataFrame:
-    words = F.split("text", " ")
+    # bind the split once as a column: referencing F.split(...) inside the
+    # transform lambda would re-tokenize the text per element (O(words^2))
+    words = F.col("words")
     shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(0),
                    F.greatest(F.size(words) - 3, F.lit(-1))),
@@ -556,7 +558,8 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
             " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
             F.element_at(words, i + 3)),
     ))
-    return (docs.where(F.size(words) >= 3)
+    return (docs.select("doc_id", F.split("text", " ").alias("words"))
+            .where(F.size(words) >= 3)
             .select("doc_id", shingles.alias("shingles")))
 
 
@@ -567,7 +570,12 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     on reuse, so keeping the md5 sweep behind a Generate node guarantees
     it runs exactly once per document rather than once per band
     reference."""
-    shingled = _shingles_df(docs)
+    spark = docs.sparkSession
+    # the md5 sweep is the hot loop; a small input (one parquet file ->
+    # one partition) would serialize it on a single core, so spread the
+    # narrow (doc_id, shingles) rows across the cluster first
+    shingled = _shingles_df(docs).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
         lambda s: F.array_min(F.transform(
@@ -718,12 +726,16 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("a"), F.col("rep").alias("b_"))
         .distinct()
     )
+    # the edge set is tiny relative to the corpus (only near-duplicate
+    # members); collapse to a handful of partitions so each propagation
+    # round schedules a few tasks instead of a full shuffle width
     undirected = edges.union(
         edges.select(F.col("b_").alias("a"), F.col("a").alias("b_"))
-    ).distinct().localCheckpoint()
+    ).distinct().repartition(8, "b_").localCheckpoint()
 
     labels = (undirected.select(F.col("a").alias("doc"))
               .distinct()
+              .repartition(8, "doc")
               .withColumn("label", F.col("doc")))
     for _ in range(15):
         neighbor_min = (
@@ -770,26 +782,44 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup inside (lang, length-bucket) blocks — the
-    blocking keys bound the pair explosion at scale."""
+    blocking keys bound the pair explosion at scale.
+
+    Pair ENUMERATION happens per block (ids only, cheap); the expensive
+    set intersections are computed after a hash repartition of the pair
+    rows, so the O(block^2) similarity work spreads across the cluster
+    instead of running inside a handful of block-keyed join tasks."""
     docs = _read(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
     shingled = _shingles_df(docs).join(
         docs.select("doc_id", "lang",
                     (F.col("n_chars") / 64).cast("long").alias("len_bucket")),
-        "doc_id")
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+        "doc_id").repartition(parallelism, "doc_id")
+    ids = (
+        shingled.groupBy("lang", "len_bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .where(F.size("members") > 1)
+        .select(F.explode(F.filter(
+            F.flatten(F.transform(
+                F.col("members"),
+                lambda x: F.transform(
+                    F.col("members"),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
+            )),
+            lambda p: p.getField("doc_a") < p.getField("doc_b"),
+        )).alias("pair"))
+        .select("pair.doc_a", "pair.doc_b")
+        .repartition(parallelism, "doc_a", "doc_b")
+    )
+    a = shingled.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingles").alias("shingles_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("shingles_b"))
     jaccard = F.round(
-        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-        .cast("double")
-        / F.size(F.array_distinct(
-            F.concat(F.col("a.shingles"), F.col("b.shingles")))), 6)
+        F.size(F.array_intersect("shingles_a", "shingles_b")).cast("double")
+        / F.size(F.array_distinct(F.concat("shingles_a", "shingles_b"))), 6)
     return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
-               & (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.len_bucket") == F.col("b.len_bucket")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                jaccard.alias("jaccard"))
+        ids.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
 
