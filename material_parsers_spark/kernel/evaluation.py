@@ -100,3 +100,20 @@ def spans_to_markup(paragraph: dict) -> str:
         offset += len(span["text"])
     output += escape(text[offset:])
     return output
+
+
+def load_reference_csv(path: str) -> Dict[str, Dict[str, str]]:
+    """S15: parse the eval-reference CSV into {path: {material: tc}} —
+    `misc/evaluation/evaluation.py:8-22`, including header skip, column
+    positions (material, tc, _, path), and last-wins on a duplicate
+    material within the same path."""
+    import csv
+
+    reference_map: Dict[str, Dict[str, str]] = {}
+    with open(path, newline="", encoding="utf-8") as handle:
+        reader = csv.reader(handle, delimiter=",", quotechar='"')
+        next(reader)
+        for row in reader:
+            material, tc, doc_path = row[0], row[1], row[3]
+            reference_map.setdefault(doc_path, {})[material] = tc
+    return reference_map

@@ -236,3 +236,48 @@ def write_webanno(tei_df: DataFrame, path: str) -> None:
     (tei_df.groupBy("doc_id")
      .applyInPandas(build, schema="doc_id string, tsv string")
      .write.mode("overwrite").partitionBy("doc_id").text(path))
+
+
+def sentence_classification_rows(tei_df: DataFrame) -> DataFrame:
+    """S10 (sentence-classification CSV shape): one row per in-sentence
+    entity PAIR with a binary linked flag —
+    `converters/misc/xmlSupermat2csv_sentenceClassification.py:179-217`
+    (its use_paragraphs path: the annotated unit is the paragraph).
+    Columns: id = md5 of the sentence text, sentence, linked. Like the
+    reference, a sentence appears once per pair."""
+    spans = F.col("spans")
+    def ordered(p):
+        a, b = p.getField("a"), p.getField("b")
+        a_off, b_off = a.getField("offset_start"), b.getField("offset_start")
+        return (a_off < b_off) | (
+            (a_off == b_off) & (a.getField("id") < b.getField("id")))
+
+    pairs = F.filter(
+        F.flatten(F.transform(
+            spans,
+            lambda a: F.transform(
+                spans, lambda b: F.struct(a.alias("a"), b.alias("b"))),
+        )),
+        ordered,
+    )
+    base = (
+        tei_df
+        .where(F.size("spans") > 1)
+        .select("text", "gold_links", F.explode(pairs).alias("pair"))
+    )
+    linked = F.exists(
+        "gold_links",
+        lambda g: ((g.getField("source_id") == F.col("pair.a.id"))
+                   & (g.getField("target_id") == F.col("pair.b.id")))
+        | ((g.getField("source_id") == F.col("pair.b.id"))
+           & (g.getField("target_id") == F.col("pair.a.id"))),
+    )
+    return base.select(
+        F.md5("text").alias("id"),
+        F.col("text").alias("sentence"),
+        F.when(linked, 1).otherwise(0).alias("linked"),
+    )
+
+
+def write_sentence_classification_csv(rows: DataFrame, path: str) -> None:
+    rows.write.mode("overwrite").option("header", True).csv(path)

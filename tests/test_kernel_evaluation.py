@@ -131,3 +131,32 @@ def test_spans_to_markup_builds_escaped_pseudo_xml():
     out = spans_to_markup(paragraph)
     assert out == ("The <material id='a'>&lt;MgB 2&gt;</material> shows "
                    "<tcValue id='b'>39 K</tcValue> here.")
+
+
+def test_load_reference_csv(tmp_path):
+    from material_parsers_spark.kernel.evaluation import (
+        load_reference_csv, match_rows)
+
+    csv_path = tmp_path / "ref.csv"
+    csv_path.write_text(
+        "material,tc,extra,path\n"
+        '"Ba0.6K0.4Fe2As2 single crystal",38 K,x,paper1\n'
+        '"NbB 2",9 K,x,paper1\n'
+        '"NbB 2",10 K,x,paper1\n'   # duplicate material: last wins
+        '"CsFe2As2",12 K,x,paper2\n'
+    )
+    ref = load_reference_csv(str(csv_path))
+    assert ref == {
+        "paper1": {"Ba0.6K0.4Fe2As2 single crystal": "38 K",
+                   "NbB 2": "10 K"},
+        "paper2": {"CsFe2As2": "12 K"},
+    }
+    rows = [
+        ("NbB 2", "10 K", "paper1"),                       # strict
+        ("Ba0.6K0.4Fe2As2 single crystals", "38 K", "paper1"),  # soft
+        ("NbB 2", "9 K", "paper1"),                        # tc mismatch
+        ("X", "1 K", "paper3"),                            # unknown path
+    ]
+    out = match_rows(rows, ref)
+    assert [k for *_ignored, k in out] == [
+        "Strict Matching", "Soft Matching", None, None]

@@ -116,3 +116,26 @@ def test_write_webanno_distributed(spark, tmp_path):
     combined = "\n".join(texts)
     assert combined.count("#FORMAT=WebAnno TSV 3.2") == 3
     assert "tcValue-material" in combined
+
+
+def test_sentence_classification_rows(spark, tmp_path):
+    """S10 sentence-classification shape: one row per in-sentence entity
+    pair, linked flag from the gold corresp graph, id = md5(sentence)."""
+    import hashlib
+
+    from material_parsers_spark.sinks import sentence_classification_rows
+    from material_parsers_spark.sources.tei import (
+        read_tei, synthesize_tei_corpus)
+
+    corpus = str(tmp_path / "tei")
+    synthesize_tei_corpus(corpus, n_docs=2, paragraphs_per_doc=4)
+    rows = sentence_classification_rows(
+        read_tei(spark, corpus + "/*.xml")).collect()
+    # per doc: 3 simple paragraphs (1 pair, linked) + 1 decoy paragraph
+    # (3 spans -> 3 pairs: decoy-material unlinked, decoy-tc linked,
+    # material-tc unlinked)
+    assert len(rows) == 2 * (3 * 1 + 3)
+    linked = sum(r.linked for r in rows)
+    assert linked == 2 * (3 + 1)
+    for row in rows:
+        assert row.id == hashlib.md5(row.sentence.encode()).hexdigest()
