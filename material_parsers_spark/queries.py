@@ -742,6 +742,8 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             undirected.join(labels, undirected["b_"] == labels["doc"])
             .groupBy("a").agg(F.min("label").alias("nbr_label"))
         )
+        # carry the previous label through so convergence detection is a
+        # filter over the checkpointed frame, not another join
         updated = (
             labels.join(neighbor_min,
                         labels["doc"] == neighbor_min["a"], "left")
@@ -749,16 +751,13 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc",
                 F.least(F.col("label"),
                         F.coalesce("nbr_label", F.col("label")))
-                .alias("label"))
+                .alias("label"),
+                F.col("label").alias("old_label"))
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.doc") == F.col("l.doc"))
-            .where(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
+        changed = updated.where(
+            F.col("label") != F.col("old_label")).count()
+        labels = updated.select("doc", "label")
         if changed == 0:
             break
     return labels.select(
