@@ -46,6 +46,13 @@ class TokenTrieMatcher:
         """Match against ``text``; returns entity dicts with original-case
         text and char offsets, non-overlapping, leftmost-longest."""
         tokens, offsets = tokenize_and_filter(text)
+        return self.match_filtered(tokens, offsets, text)
+
+    def match_filtered(self, tokens: List[str],
+                       offsets: List[tuple], text: str) -> List[dict]:
+        """Same as ``match`` over a pre-tokenized, blank-filtered stream —
+        callers that already tokenized (the extraction kernel) avoid a
+        second pass of the regex splitter."""
         lowered = [t.lower() for t in tokens]
         entities: List[dict] = []
 

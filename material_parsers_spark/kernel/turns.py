@@ -18,7 +18,7 @@ from .materials import extract_results
 from .resolvers import simple_resolution, vicinity_resolution
 from .tagger import tag_spans
 from .tc_classifier import mark_linkable_temperatures
-from .tokenizer import tokenize
+from .tokenizer import BLANKS, tokenize
 
 # the five reference link-type configurations, exact orientation from
 # service.py:18-31, with the span type forced linkable per configuration
@@ -55,10 +55,15 @@ def extract_turn(text: Optional[str],
     tokens, offsets = tokenize(text)
 
     # dictionary matches first — they are longest-match, curated entries and
-    # take precedence over the heuristic tagger on overlap
+    # take precedence over the heuristic tagger on overlap. The matcher
+    # reuses this tokenization (filtered view) instead of re-splitting.
     spans: List[dict] = []
     if matcher is not None:
-        for ent in matcher.match(text):
+        filtered = [(t, o) for t, o in zip(tokens, offsets)
+                    if t not in BLANKS]
+        matched = matcher.match_filtered(
+            [t for t, _ in filtered], [o for _, o in filtered], text)
+        for ent in matched:
             token_ids = [i for i in range(len(tokens))
                          if offsets[i][0] >= ent["start"]
                          and offsets[i][1] <= ent["end"]]

@@ -453,9 +453,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("token_stats", """
+# GPT-2-style pre-tokenizer approximation: word / number / punctuation
+# runs, each absorbing one leading space — the subword-count estimator a
+# training-data pipeline budgets with (RE2- and Java-regex compatible)
+_BPE_ISH = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+@_register("token_stats", f"""
 SELECT doc_id,
        cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+       cast(len(regexp_extract_all(text, '{_BPE_ISH}')) AS bigint)
+         AS n_bpe_ish_tokens,
        cast(length(text) AS bigint) AS n_chars_actual
 FROM documents WHERE length(trim(text)) > 0
 """)
@@ -467,6 +474,8 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(F.split(F.trim("text"), r"\s+")).cast("long")
             .alias("n_tokens"),
+            F.regexp_count("text", F.lit(_BPE_ISH)).cast("long")
+            .alias("n_bpe_ish_tokens"),
             F.length("text").cast("long").alias("n_chars_actual"),
         )
     )
@@ -821,6 +830,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
+
+
+@_register("fingerprint_winnow", f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+             i -> {_H_SQL.format(
+                 expr="string_split(text, ' ')[i] || ' ' || "
+                      "string_split(text, ' ')[i+1] || ' ' || "
+                      "string_split(text, ' ')[i+2] || ' ' || "
+                      "string_split(text, ' ')[i+3] || ' ' || "
+                      "string_split(text, ' ')[i+4]")}) AS hashes
+  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(hashes) - 3, 0)),
+             i -> least(hashes[i], hashes[i+1], hashes[i+2], hashes[i+3])))
+           AS fps
+  FROM grams WHERE len(hashes) >= 4)
+SELECT doc_id, unnest(fps) AS fingerprint FROM winnowed
+""")
+def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via winnowing (Schleimer et al., MOSS):
+    5-gram rolling hashes, then the minimum of every 4-hash window,
+    deduplicated — a compact, position-robust fingerprint set used for
+    containment/plagiarism-style near-dup detection at corpus scale.
+    Pure column algebra (arrays + higher-order functions), no UDF; at
+    100 TB the fingerprints land in a (fingerprint -> docs) inverted
+    index via one exchange on the fingerprint key."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.col("words")
+    # rolling-hash array via a transform over gram start indexes
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(0))),
+        lambda i: F.conv(F.substring(F.md5(F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1),
+            F.element_at(words, i + 2), F.element_at(words, i + 3),
+            F.element_at(words, i + 4))), 1, 15), 16, 10).cast("long"),
+    )
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .where(F.size("words") >= 5)
+        .select("doc_id", hashes.alias("hashes"))
+        .where(F.size("hashes") >= 4)
+    )
+    fps = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("hashes") - 4),
+        lambda i: F.least(
+            F.element_at(F.col("hashes"), i + 1),
+            F.element_at(F.col("hashes"), i + 2),
+            F.element_at(F.col("hashes"), i + 3),
+            F.element_at(F.col("hashes"), i + 4)),
+    ))
+    return grams.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
 @_register("dedup_simhash", f"""

@@ -15,7 +15,11 @@ QUERIES = [
     "extract_materials",
     "conversation_span_stats",
     "dedup_minhash_lsh",
+    "dedup_minhash_components",
+    "dedup_ngram_jaccard",
     "similarity_topk",
+    "similarity_ann_lsh",
+    "linking_eval",
     "stable_ordering",
 ]
 
