@@ -66,7 +66,11 @@ def _turns_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = int(os.environ.get("SPARK_GRAFT_TURNS", n))
     key = (id(spark), n)
     if key not in _TURNS_CACHE:
-        _TURNS_CACHE[key] = generate_turns(spark, n, partitions=32).cache()
+        # >= 4 waves per task slot: with coarse partitions a single
+        # straggler task (host CPU steal) stretches the whole last wave;
+        # finer tasks amortize it (rows are identical at any partitioning)
+        parts = max(32, 4 * spark.sparkContext.defaultParallelism)
+        _TURNS_CACHE[key] = generate_turns(spark, n, partitions=parts).cache()
     return _TURNS_CACHE[key]
 
 
