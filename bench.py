@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_simhash",          # SimHash fingerprints
     "similarity_topk",        # brute-force ANN baseline
     "similarity_ann_lsh",     # multi-table sign-LSH + Hamming-1 probes
+    "similarity_ivf",         # pivot-cell inverted file, nprobe=2
     "stable_ordering",        # window ordering
     "corpus_rollup",          # grouping sets
 ]

@@ -1136,6 +1136,117 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3).select("q_id", "vec_id", "cosine"))
 
 
+_IVF_PIVOT_LO, _IVF_PIVOT_HI = 100, 116   # 16 pivot vectors
+_IVF_NPROBE = 2
+
+_IVF_ASSIGN_SQL = f"""
+  SELECT e.vec_id, p.vec_id AS cell,
+         row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COSINE_SQL.format(q='e.embedding',
+                                          e='p.embedding')} DESC,
+                      p.vec_id ASC) AS rn
+  FROM embeddings e,
+       (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= {_IVF_PIVOT_LO} AND vec_id < {_IVF_PIVOT_HI}) p
+"""
+
+
+@_register("similarity_ivf", f"""
+WITH assign AS ({_IVF_ASSIGN_SQL}),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+qprobe AS (SELECT vec_id AS q_id, cell FROM assign
+           WHERE vec_id < 5 AND rn <= {_IVF_NPROBE}),
+qvecs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < 5),
+cands AS (
+  SELECT DISTINCT q.q_id, c.vec_id
+  FROM qprobe q JOIN cells c USING (cell)
+  WHERE c.vec_id <> q.q_id),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         {_COSINE_SQL.format(q='qv.q_vec', e='e.embedding')} AS cosine
+  FROM cands c
+  JOIN qvecs qv USING (q_id)
+  JOIN embeddings e ON c.vec_id = e.vec_id)
+SELECT q_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a 16-cell inverted file with pivot vectors drawn
+    from the data (a deterministic stand-in for trained k-means
+    centroids), nprobe=2.
+
+    Cell assignment is a SHUFFLE-FREE per-row argmax: the 16 pivots are
+    collected once at plan build (an index-build step, like loading a
+    trained quantizer) and inlined as literals, so assignment is one
+    whole-stage-codegen'd projection. Queries probe their 2 nearest
+    cells; the expensive cosine runs only on the candidate cells' members
+    (~nprobe/K of the corpus). Identical left-fold double arithmetic on
+    both engines keeps the argmax and ordering bit-stable."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pivots = sorted(
+        emb.where((F.col("vec_id") >= _IVF_PIVOT_LO)
+                  & (F.col("vec_id") < _IVF_PIVOT_HI))
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+
+    def cos_sql(vec: list) -> str:
+        arr = ", ".join(f"{float(x)!r}D" for x in vec)
+        dot = ("aggregate(zip_with(embedding, array({a}), (x, w) -> "
+               "cast(x as double) * w), 0.0D, (acc, v) -> acc + v)"
+               .format(a=arr))
+        qnorm = ("sqrt(aggregate(transform(embedding, x -> "
+                 "cast(x as double) * cast(x as double)), 0.0D, "
+                 "(acc, v) -> acc + v))")
+        pnorm = ("sqrt(aggregate(transform(array({a}), x -> x * x), "
+                 "0.0D, (acc, v) -> acc + v))".format(a=arr))
+        return f"round({dot} / ({qnorm} * {pnorm}), 6)"
+
+    ranked = ", ".join(
+        f"named_struct('c', {cos_sql(list(p.embedding))}, "
+        f"'cell', {int(p.vec_id)}L)"
+        for p in pivots)
+    sorted_cells = (
+        f"array_sort(array({ranked}), (l, r) -> "
+        "CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1 "
+        "WHEN l.cell < r.cell THEN -1 ELSE 1 END)")
+
+    with_cells = emb.select(
+        "vec_id", "embedding",
+        F.expr(f"{sorted_cells}[0].cell").alias("cell"),
+        F.expr(f"{sorted_cells}[1].cell").alias("cell2"),
+    )
+    cells = with_cells.select("vec_id", "cell")
+    qprobe = (
+        with_cells.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"),
+                F.explode(F.array("cell", "cell2")).alias("cell"))
+    )
+    qvecs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    cands = (
+        cells.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id").distinct()
+    )
+    cosine = F.round(
+        _dot(F.col("q_vec"), F.col("embedding"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("embedding"))), 6)
+    scored = (
+        cands.join(F.broadcast(qvecs), "q_id")
+        .join(emb, "vec_id")
+        .select("q_id", "vec_id", cosine.alias("cosine"))
+    )
+    window = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(window))
+            .where(F.col("rn") <= 3).select("q_id", "vec_id", "cosine"))
+
+
 @_register("stratified_sample", f"""
 SELECT lang, cast(count(*) AS bigint) AS sampled_docs
 FROM documents
@@ -1190,6 +1301,54 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         featurize,
         "doc_id long, n_bytes long, content_hash long, n_frames long")
+
+
+@_register("multimodal_frame_sample", f"""
+SELECT doc_id,
+       cast(frame_idx AS bigint) AS frame_idx,
+       {_H_SQL.format(
+           expr="substr(text, cast(frame_idx AS int) * 64 + 1, 64)")}
+         AS frame_hash,
+       cast(least(64, length(text) - cast(frame_idx AS int) * 64)
+            AS bigint) AS frame_bytes
+FROM documents, generate_series(0, 7) t(frame_idx)
+WHERE length(text) > cast(frame_idx AS int) * 64
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: stride-sample up to 8 fixed-size
+    "frames" per blob inside an Arrow-batched mapInPandas — the plumbing
+    (binary slicing, per-frame rows, typed metadata) of a video
+    frame-sampler with the codec decode stubbed by deterministic byte
+    windows. One output row per sampled frame; the oracle reproduces the
+    stride arithmetic relationally."""
+    import pandas as pd
+
+    docs = _read(spark, sf_dir, "documents") \
+        .where(F.col("text").isNotNull()) \
+        .select("doc_id", F.col("text").alias("content"))
+
+    def sample(batches):
+        import hashlib
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [],
+                    "frame_hash": [], "frame_bytes": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for frame_idx in range(8):
+                    start = frame_idx * 64
+                    if start >= len(content):
+                        break
+                    frame = content[start:start + 64]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(frame_idx)
+                    rows["frame_hash"].append(int(
+                        hashlib.md5(frame.encode("utf-8"))
+                        .hexdigest()[:15], 16))
+                    rows["frame_bytes"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        sample,
+        "doc_id long, frame_idx long, frame_hash long, frame_bytes long")
 
 
 def clear_extraction_cache() -> None:

@@ -78,3 +78,58 @@ def run_stream_once(spark: SparkSession, input_dir: str, output_dir: str,
         .start()
     )
     query.awaitTermination()
+
+
+CONV_STATE_OUTPUT = ("conv_id string, n_turns bigint, n_chars bigint, "
+                     "last_ts timestamp, closed boolean")
+CONV_STATE_SCHEMA = "n_turns bigint, n_chars bigint, last_ts_us bigint"
+
+
+def conversation_state_updates(turns: DataFrame,
+                               inactivity_ms: int = 600_000) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): accumulate
+    per-conversation counters across micro-batches and close a
+    conversation after an inactivity timeout.
+
+    This is the streaming analog of the batch per-conversation rollup:
+    state is (n_turns, n_chars, last event-time); every batch emits the
+    updated running row, and a processing-time timeout emits a final
+    ``closed`` row so downstream consumers can materialize finished
+    conversations incrementally."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, batches, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_chars, last_us = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "conv_id": [conv_id], "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "closed": [True],
+            })
+            return
+        n_turns, n_chars, last_us = (
+            state.get if state.exists else (0, 0, 0))
+        for pdf in batches:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].str.len().fillna(0).sum())
+            batch_max = pd.to_datetime(pdf["ts"]).max()
+            last_us = max(last_us, int(batch_max.value // 1_000))
+        state.update((n_turns, n_chars, last_us))
+        state.setTimeoutDuration(inactivity_ms)
+        yield pd.DataFrame({
+            "conv_id": [conv_id], "n_turns": [n_turns],
+            "n_chars": [n_chars],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "closed": [False],
+        })
+
+    return (
+        turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            update, CONV_STATE_OUTPUT, CONV_STATE_SCHEMA, "update",
+            GroupStateTimeout.ProcessingTimeTimeout)
+    )

@@ -65,3 +65,56 @@ def test_windowed_counts_schema(spark):
     rows = out.collect()
     assert sum(r.n_turns for r in rows) == 50
     assert all(r.window_start is not None for r in rows)
+
+
+def test_stateful_conversation_counters_accumulate(spark, tmp_path):
+    """applyInPandasWithState accumulates per-conversation state ACROSS
+    micro-batches: with one input file per trigger, the final update row
+    per conversation equals the batch groupBy over all files."""
+    from pyspark.sql import functions as F
+
+    from material_parsers_spark.pipeline.transcripts import generate_turns
+    from material_parsers_spark.streaming.turn_stream import (
+        conversation_state_updates, read_turn_stream)
+
+    input_dir = tmp_path / "in"
+    turns = generate_turns(spark, 120, partitions=2).cache()
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    for index, part in enumerate([(0, 40), (40, 80), (80, 120)]):
+        (turns.where((F.col("ts").cast("long") - 1700000000)
+                     .between(part[0], part[1] - 1))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(input_dir / f"batch-{index}")))
+
+    stream = read_turn_stream(spark, str(input_dir / "batch-*"),
+                              max_files_per_trigger=1)
+    updates = conversation_state_updates(stream)
+    query = (
+        updates.writeStream.format("memory").queryName("conv_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM conv_state").collect()
+    assert rows, "stateful stream produced no updates"
+    # last update per conversation == batch rollup over the same input
+    latest = {}
+    for row in rows:
+        if not row.closed:
+            current = latest.get(row.conv_id)
+            if current is None or row.n_turns >= current.n_turns:
+                latest[row.conv_id] = row
+    expected = {
+        r["conv_id"]: r
+        for r in turns.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum(F.length("text")).alias("n_chars"))
+        .collect()
+    }
+    assert set(latest) == set(expected)
+    for conv_id, row in latest.items():
+        assert row.n_turns == expected[conv_id]["n_turns"], conv_id
+        assert row.n_chars == expected[conv_id]["n_chars"], conv_id
