@@ -121,3 +121,64 @@ def test_convert_tokens_space_folding(words):
     assert doc.text == original
     # sentence alignment never raises
     get_sentence_boundaries(out_words, out_spaces)
+
+
+def test_tei_roundtrip_property():
+    """Property: for word-aligned, non-adjacent spans over arbitrary word
+    sequences, write->parse recovers every span with the reference's
+    tag-space quirk applied (a span followed by a space absorbs it)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from material_parsers_spark.sources.tei import (
+        parse_tei_paragraphs, write_tei_document)
+
+    words = st.lists(
+        st.text(alphabet="abcdefgABC0123", min_size=1, max_size=6),
+        min_size=4, max_size=14)
+
+    @settings(max_examples=60, deadline=None)
+    @given(words, st.data())
+    def run(word_list, data):
+        text = " ".join(word_list)
+        # pick up to 2 non-adjacent word-aligned spans
+        n = len(word_list)
+        starts = data.draw(st.lists(
+            st.integers(0, n - 1), min_size=0, max_size=2, unique=True))
+        starts = sorted(starts)
+        spans = []
+        used_until = -1
+        offsets = []
+        pos = 0
+        for w in word_list:
+            offsets.append((pos, pos + len(w)))
+            pos += len(w) + 1
+        for index, word_at in enumerate(starts):
+            if word_at <= used_until + 1:  # keep a gap word between spans
+                continue
+            start, end = offsets[word_at]
+            spans.append({
+                "id": f"s{index}",
+                "type": "<material>" if index % 2 == 0 else "<tcValue>",
+                "offset_start": start, "offset_end": end,
+            })
+            used_until = word_at
+        xml = write_tei_document([{"text": text, "spans": spans}])
+        paragraphs, _, _ = parse_tei_paragraphs(xml)
+        body = [p for p in paragraphs if p["section"] == "body"][0]
+        assert body["text"] == text
+        got = {s_["id"]: s_ for s_ in body["spans"]}
+        assert set(got) == {s_["id"] for s_ in spans}
+        for span in spans:
+            out = got[span["id"]]
+            expected = text[span["offset_start"]:span["offset_end"]]
+            follows_space = text[span["offset_end"]:
+                                 span["offset_end"] + 1] == " "
+            if follows_space:
+                expected += " "
+            assert out["text"] == expected
+            assert out["offset_start"] == span["offset_start"]
+            assert body["text"][out["offset_start"]:out["offset_end"]] \
+                == out["text"]
+
+    run()
