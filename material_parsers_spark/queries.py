@@ -1247,6 +1247,72 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3).select("q_id", "vec_id", "cosine"))
 
 
+@_register("dedup_embedding_cosine", f"""
+WITH assign AS ({_IVF_ASSIGN_SQL}),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT p.vec_a, p.vec_b,
+         {_COSINE_SQL.format(q='ea.embedding', e='eb.embedding')} AS cosine
+  FROM pairs p
+  JOIN embeddings ea ON p.vec_a = ea.vec_id
+  JOIN embeddings eb ON p.vec_b = eb.vec_id)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.3
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs restricted to the same
+    IVF cell (the blocking that keeps this subquadratic — cell-local
+    pairs are ~N^2/K instead of N^2), scored with the shared left-fold
+    cosine, thresholded. The 0.3 threshold is calibrated to the driver's
+    isotropic embeddings (true near-dups in a real corpus sit >0.9 and
+    land in the same cell with high probability)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pivots = sorted(
+        emb.where((F.col("vec_id") >= _IVF_PIVOT_LO)
+                  & (F.col("vec_id") < _IVF_PIVOT_HI))
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+
+    def cos_sql(vec: list) -> str:
+        arr = ", ".join(f"{float(x)!r}D" for x in vec)
+        dot = ("aggregate(zip_with(embedding, array({a}), (x, w) -> "
+               "cast(x as double) * w), 0.0D, (acc, v) -> acc + v)"
+               .format(a=arr))
+        qnorm = ("sqrt(aggregate(transform(embedding, x -> "
+                 "cast(x as double) * cast(x as double)), 0.0D, "
+                 "(acc, v) -> acc + v))")
+        pnorm = ("sqrt(aggregate(transform(array({a}), x -> x * x), "
+                 "0.0D, (acc, v) -> acc + v))".format(a=arr))
+        return f"round({dot} / ({qnorm} * {pnorm}), 6)"
+
+    ranked = ", ".join(
+        f"named_struct('c', {cos_sql(list(p.embedding))}, "
+        f"'cell', {int(p.vec_id)}L)"
+        for p in pivots)
+    argmax = (
+        f"array_sort(array({ranked}), (l, r) -> "
+        "CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1 "
+        "WHEN l.cell < r.cell THEN -1 ELSE 1 END)[0].cell")
+
+    cells = emb.select("vec_id", "embedding",
+                       F.expr(argmax).alias("cell"))
+    a = cells.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
+                     F.col("embedding").alias("emb_a"))
+    b = cells.select(F.col("cell"), F.col("vec_id").alias("vec_b"),
+                     F.col("embedding").alias("emb_b"))
+    cosine = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), 6)
+    return (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= 0.3)
+    )
+
+
 @_register("stratified_sample", f"""
 SELECT lang, cast(count(*) AS bigint) AS sampled_docs
 FROM documents
