@@ -194,3 +194,47 @@ def test_checkpoint_crash_window_reconciles_orphans(spark, turns):
         assert reconcile_orphans(out_dir, manifest_dir) == []
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_extraction_survives_pathological_inputs(spark):
+    """Arrow batching + kernel robustness on adversarial turns: nulls,
+    empty strings, unicode confusables, emoji, unterminated markup, a
+    100 KB turn, and a 40-dopant formula (the kernel's documented
+    RuntimeError guard must be contained per turn, not crash the job)."""
+    from pyspark.sql import functions as F
+
+    from material_parsers_spark.pipeline.extraction import extract_ordered
+
+    monster = "La " + " ".join(f"Fe 0.0{i} " for i in range(40)) + "O 7"
+    rows = [
+        ("c1", 0, None),
+        ("c1", 1, ""),
+        ("c1", 2, "  − "),
+        ("c1", 3, "T c = 39 K for MgB 2 \U0001f9ea under pressure"),
+        ("c1", 4, "<material>unterminated <rs markup 39 K"),
+        ("c1", 5, "x" * 100_000),
+        ("c1", 6, monster),
+        ("c2", 0, "The Tc of the BaClE2 is 30K."),
+    ]
+    turns = spark.createDataFrame(
+        [(c, i, t, None, None) for c, i, t in rows],
+        "conv_id string, turn_idx int, text string, role string, "
+        "tool string")
+    out = extract_ordered(turns, include_tokens=False).collect()
+    # null/empty rows are filtered by the JVM-side guard; the rest survive
+    assert len(out) == 6
+    by_key = {(r.conv_id, r.turn_idx): r for r in out}
+    assert len(by_key[("c2", 0)].spans) >= 2
+    assert by_key[("c1", 5)].spans == []
+    # per-turn equality against the driver-side kernel on the monsters
+    from material_parsers_spark.kernel.gazetteer import TokenTrieMatcher
+    from material_parsers_spark.kernel.turns import extract_turn
+    from material_parsers_spark.pipeline.extraction import (
+        load_full_patterns)
+    matcher = TokenTrieMatcher(load_full_patterns())
+    for (conv_id, turn_idx), row in by_key.items():
+        text = dict(((c, i), t) for c, i, t in rows)[(conv_id, turn_idx)]
+        expected = extract_turn(text, matcher, include_tokens=False)
+        got = [s.asDict(recursive=True) for s in row.spans]
+        assert json.loads(json.dumps(expected["spans"])) == got, \
+            (conv_id, turn_idx)
