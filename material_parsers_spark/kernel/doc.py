@@ -60,6 +60,10 @@ class MergedDoc:
         self.tokens = tokens
         for index, token in enumerate(tokens):
             token.i = index
+        # token TEXTS are immutable after construction (only ent/link
+        # attrs mutate), so the document text is computed once and
+        # slices are O(1) char ranges into it via token offsets
+        self._text: Optional[str] = None
 
     def __iter__(self):
         return iter(self.tokens)
@@ -77,11 +81,14 @@ class MergedDoc:
         toks = self.tokens[start:end]
         if not toks:
             return ""
-        return "".join(t.text_with_ws for t in toks[:-1]) + toks[-1].text
+        last = toks[-1]
+        return self.text[toks[0].idx:last.idx + len(last.text)]
 
     @property
     def text(self) -> str:
-        return "".join(t.text_with_ws for t in self.tokens)
+        if self._text is None:
+            self._text = "".join(t.text_with_ws for t in self.tokens)
+        return self._text
 
     def __str__(self) -> str:
         return self.text
