@@ -720,11 +720,14 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each band bucket emits only (member -> min member) edges — O(n) per
     bucket, so a mass-duplicate cluster of any size costs linear work —
     then iterative min-label propagation (the standard distributed
-    connected-components loop; O(log diameter) rounds, each one
-    hash-shuffle on doc ids, lineage cut per round via localCheckpoint)
-    assigns every clustered doc its component's smallest doc_id. Keep one
-    doc per cluster_id downstream to dedup. The DuckDB oracle computes
-    the same components with a recursive transitive closure."""
+    connected-components loop; converges in O(diameter of the
+    representative-edge graph) rounds, each one hash-shuffle on doc ids,
+    lineage cut per round via localCheckpoint) assigns every clustered
+    doc its component's smallest doc_id. The loop runs UNTIL CONVERGED
+    (changed == 0) and raises if the iteration ceiling is hit — partial
+    labels are silently-wrong cluster ids, never returned. Keep one doc
+    per cluster_id downstream to dedup. The DuckDB oracle computes the
+    same components with a recursive transitive closure."""
     docs = _read(spark, sf_dir, "documents")
     bands = _minhash_bands(docs)
     reps = (
@@ -739,18 +742,42 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("a"), F.col("rep").alias("b_"))
         .distinct()
     )
-    # the edge set is tiny relative to the corpus (only near-duplicate
-    # members); collapse to a handful of partitions so each propagation
-    # round schedules a few tasks instead of a full shuffle width
+    labels = propagate_min_labels(edges)
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"))
+
+
+def propagate_min_labels(edges: DataFrame, max_rounds: int = 256) -> DataFrame:
+    """Distributed connected components by min-label propagation over an
+    edge list ``(a, b_)``. Returns ``(doc, label)`` with label = smallest
+    node id in the node's component.
+
+    The loop runs UNTIL CONVERGED — min-label propagation needs
+    O(component diameter) rounds, not a fixed constant, and returning
+    early would emit silently-wrong cluster ids; the ceiling is only a
+    runaway backstop that RAISES instead of returning partial labels.
+    Propagation width scales with the MEASURED edge count rather than a
+    fixed constant: ~50k edges per task, floored at 4 and capped at 4x
+    cluster parallelism — at a 100 TB corpus with billions of dup edges
+    the width grows with the data instead of serializing every round
+    onto a handful of tasks. The localCheckpoint per round both cuts the
+    iterative lineage and materializes the frame the convergence count
+    reads, so each round is one join + one cheap count job."""
+    spark = edges.sparkSession
     undirected = edges.union(
         edges.select(F.col("b_").alias("a"), F.col("a").alias("b_"))
-    ).distinct().repartition(8, "b_").localCheckpoint()
+    ).distinct().localCheckpoint()
+    n_edges = undirected.count()
+    width = max(4, min(4 * spark.sparkContext.defaultParallelism,
+                       (n_edges // 50_000) + 4))
+    undirected = undirected.repartition(width, "b_").localCheckpoint()
 
     labels = (undirected.select(F.col("a").alias("doc"))
               .distinct()
-              .repartition(8, "doc")
+              .repartition(width, "doc")
               .withColumn("label", F.col("doc")))
-    for _ in range(15):
+    for _ in range(max_rounds):
         neighbor_min = (
             undirected.join(labels, undirected["b_"] == labels["doc"])
             .groupBy("a").agg(F.min("label").alias("nbr_label"))
@@ -772,24 +799,30 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label") != F.col("old_label")).count()
         labels = updated.select("doc", "label")
         if changed == 0:
-            break
-    return labels.select(
-        F.col("doc").alias("doc_id"),
-        F.col("label").cast("long").alias("cluster_id"))
+            return labels
+    raise RuntimeError(
+        f"propagate_min_labels did not converge within {max_rounds} "
+        "rounds — refusing to return partial cluster ids")
 
 
 @_register("dedup_ngram_jaccard", f"""
 WITH shingled AS ({_SHINGLES_SQL}),
+blocked AS (
+  SELECT s.doc_id, d.lang, (d.n_chars // 64) AS len_bucket,
+         row_number() OVER (PARTITION BY d.lang, (d.n_chars // 64)
+                            ORDER BY s.doc_id) AS rn
+  FROM shingled s JOIN documents d USING (doc_id)),
+capped AS (SELECT doc_id, lang, len_bucket FROM blocked WHERE rn <= 32),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(cast(len(list_intersect(a.shingles, b.shingles)) AS double) /
-               len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+         round(cast(len(list_intersect(sa.shingles, sb.shingles)) AS double) /
+               len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
            AS jaccard
-  FROM shingled a
-  JOIN documents da ON a.doc_id = da.doc_id
-  JOIN shingled b ON a.doc_id < b.doc_id
-  JOIN documents db ON b.doc_id = db.doc_id
-     AND da.lang = db.lang AND (da.n_chars // 64) = (db.n_chars // 64))
+  FROM capped a
+  JOIN capped b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+  JOIN shingled sa ON sa.doc_id = a.doc_id
+  JOIN shingled sb ON sb.doc_id = b.doc_id)
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,15 +832,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair ENUMERATION happens per block (ids only, cheap); the expensive
     set intersections are computed after a hash repartition of the pair
     rows, so the O(block^2) similarity work spreads across the cluster
-    instead of running inside a handful of block-keyed join tasks."""
+    instead of running inside a handful of block-keyed join tasks.
+
+    Block members are CAPPED at 32 via a rank-window filter applied
+    BEFORE any list materializes (the same guard dedup_minhash_lsh uses):
+    a hot (lang, len-bucket) block — thousands of short same-language
+    web documents, the common crawl case — would otherwise materialize
+    one giant members array and a quadratic in-row pair expansion inside
+    a single task. Mass-duplicate clusters past the cap are the
+    dedup_minhash_components path's job (O(n) representative edges, no
+    cap)."""
     docs = _read(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
     shingled = _shingles_df(docs).join(
         docs.select("doc_id", "lang",
                     (F.col("n_chars") / 64).cast("long").alias("len_bucket")),
         "doc_id").repartition(parallelism, "doc_id")
+    # rank-then-collect: the narrow 3-column frame goes through the block
+    # window; the cap filter runs before the members list is assembled, so
+    # no task ever holds an uncapped hot block in memory (the window and
+    # the groupBy share a key, so AQE reuses one Exchange)
+    block_window = Window.partitionBy("lang", "len_bucket").orderBy("doc_id")
     ids = (
-        shingled.groupBy("lang", "len_bucket")
+        shingled.select("doc_id", "lang", "len_bucket")
+        .withColumn("rn", F.row_number().over(block_window))
+        .where(F.col("rn") <= 32)
+        .groupBy("lang", "len_bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
         .where(F.size("members") > 1)
         .select(F.explode(F.filter(
@@ -1382,11 +1432,44 @@ WHERE length(text) > cast(frame_idx AS int) * 64
 """)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: stride-sample up to 8 fixed-size
-    "frames" per blob inside an Arrow-batched mapInPandas — the plumbing
-    (binary slicing, per-frame rows, typed metadata) of a video
-    frame-sampler with the codec decode stubbed by deterministic byte
-    windows. One output row per sampled frame; the oracle reproduces the
-    stride arithmetic relationally."""
+    "frames" per blob — pure stride arithmetic, so it stays ENTIRELY
+    JVM-side: posexplode of the frame indexes + substring slicing + md5,
+    one whole-stage-codegen'd projection with zero Python in the plan.
+    One output row per sampled frame with typed metadata. When a real
+    codec decode is needed (actual video frames), the Arrow-batched
+    seam is ``multimodal_frame_sample_decoded`` below — the mapInPandas
+    variant exists for the decode stub, not for the slicing."""
+    docs = _read(spark, sf_dir, "documents") \
+        .where(F.col("text").isNotNull()) \
+        .select("doc_id", F.col("text").alias("content"))
+
+    frame_idx = F.col("frame_idx")
+    start = (frame_idx * 64).cast("int")
+    frame = F.substring(F.col("content"), start + 1, 64)
+    return (
+        docs.select(
+            "doc_id", "content",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"))
+        .where(F.length("content") > start)
+        .select(
+            "doc_id",
+            frame_idx.cast("long").alias("frame_idx"),
+            _h(frame).alias("frame_hash"),
+            F.least(F.lit(64), F.length("content") - start)
+            .cast("long").alias("frame_bytes"),
+        )
+    )
+
+
+def multimodal_frame_sample_decoded(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The CODEC-DECODE seam (documented stub, not a registered query):
+    identical output contract to ``multimodal_frame_sample``, but the
+    per-frame work runs inside an Arrow-batched mapInPandas — the shape a
+    real video decoder (pyav/opencv, absent in this container) plugs
+    into. Use the relational variant whenever the per-frame function is
+    expressible as column algebra; this one only when it genuinely needs
+    a Python codec library."""
     import pandas as pd
 
     docs = _read(spark, sf_dir, "documents") \
@@ -1403,6 +1486,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     start = frame_idx * 64
                     if start >= len(content):
                         break
+                    # a real decoder would run here on the frame bytes
                     frame = content[start:start + 64]
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(frame_idx)

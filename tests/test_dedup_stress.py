@@ -21,13 +21,19 @@ def spark():
 def stress_dir(spark, tmp_path_factory):
     """documents.parquet with 1,000 byte-identical docs + 50 distinct."""
     base = tmp_path_factory.mktemp("stress")
-    rows = [(i, "the exact same duplicated web page text appears here "
-                "again and again across the crawl") for i in range(1000)]
+    dup_text = ("the exact same duplicated web page text appears here "
+                "again and again across the crawl")
+    # identical lang + identical length -> ALL 1,000 dups share one
+    # (lang, len_bucket) ngram-jaccard block as well as every minhash band
+    rows = [(i, dup_text, "en", len(dup_text)) for i in range(1000)]
     # every shingle of a distinct doc embeds i, so none are near-dups
     rows += [(1000 + i,
-              f"doc{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+              f"doc{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}",
+              "en",
+              len(f"doc{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"))
              for i in range(50)]
-    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, n_chars bigint")
     df.write.mode("overwrite").parquet(str(base / "documents.parquet"))
     return str(base)
 
@@ -57,6 +63,47 @@ def test_minhash_pairs_capped_and_oracle_green(spark, stress_dir):
     assert len(expected) == 496
     assert value_hash([tuple(r) for r in rows], df.columns) == \
         value_hash(expected, columns)
+
+
+def test_ngram_jaccard_blocks_capped_and_oracle_green(spark, stress_dir):
+    """All 1,000 identical docs share one (lang, len_bucket) block; the
+    rank-window cap bounds the in-block expansion to C(32,2) = 496 pairs
+    exactly like the minhash path (uncapped would be 499,500 pairs in one
+    task). The 50 distinct docs share no shingles, so no pair of them
+    clears the 0.5 jaccard threshold."""
+    df = SPARK_QUERIES["dedup_ngram_jaccard"](spark, stress_dir)
+    rows = df.collect()
+    assert len(rows) == 496
+    assert all(r.jaccard == 1.0 for r in rows)
+    assert {r.doc_a for r in rows} | {r.doc_b for r in rows} == set(range(32))
+
+    expected, columns = _oracle_rows(ORACLE_SQL["dedup_ngram_jaccard"],
+                                     stress_dir)
+    assert len(expected) == 496
+    assert value_hash([tuple(r) for r in rows], df.columns) == \
+        value_hash(expected, columns)
+
+
+def test_min_label_propagation_converges_past_15_rounds(spark):
+    """A path graph of 20 nodes has diameter 19: min-label propagation
+    moves label 0 ONE hop per round, so the old fixed 15-round loop
+    exits unconverged with wrong cluster ids. The loop must run to
+    convergence."""
+    from material_parsers_spark.queries import propagate_min_labels
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "a bigint, b_ bigint")
+    labels = {r.doc: r.label for r in propagate_min_labels(edges).collect()}
+    assert labels == {i: 0 for i in range(20)}
+
+
+def test_min_label_propagation_raises_instead_of_partial_labels(spark):
+    from material_parsers_spark.queries import propagate_min_labels
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a bigint, b_ bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(edges, max_rounds=2)
 
 
 def test_minhash_components_cover_the_full_cluster(spark, stress_dir):

@@ -238,3 +238,24 @@ def test_extraction_survives_pathological_inputs(spark):
         got = [s.asDict(recursive=True) for s in row.spans]
         assert json.loads(json.dumps(expected["spans"])) == got, \
             (conv_id, turn_idx)
+
+
+def test_frame_sample_is_relational_and_matches_decode_seam(spark):
+    """The registered multimodal_frame_sample must be pure column algebra
+    (zero Python nodes in the physical plan); the mapInPandas decode seam
+    must produce byte-identical rows on the same input."""
+    from material_parsers_spark.queries import (
+        SPARK_QUERIES,
+        multimodal_frame_sample_decoded,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    relational = SPARK_QUERIES["multimodal_frame_sample"](spark, sf_dir)
+    plan = relational._jdf.queryExecution().executedPlan().toString()
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython",
+                        "PythonMapInArrow"):
+        assert python_node not in plan
+    seam = multimodal_frame_sample_decoded(spark, sf_dir)
+    key = lambda r: (r.doc_id, r.frame_idx)
+    assert sorted(relational.collect(), key=key) == \
+        sorted(seam.collect(), key=key)
