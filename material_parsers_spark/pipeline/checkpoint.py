@@ -124,8 +124,15 @@ def run_with_checkpoint(turns: DataFrame, output_dir: str, manifest_dir: str,
          .write.mode("append").partitionBy("bucket", "run_id")
          .parquet(output_dir))
 
+        # counters come from the pending buckets only: filtering on run_id
+        # alone would, on a resume that REUSES a prior attempt's run_id,
+        # also count that attempt's already-committed buckets as processed
+        # this run (inflating turns_processed and double-listing buckets in
+        # processed and skipped). already_done is the manifest read from
+        # before this write, so the complement is exactly this run's work.
         written = spark.read.parquet(output_dir) \
-            .where(F.col("run_id") == run_id)
+            .where((F.col("run_id") == run_id)
+                   & ~F.col("bucket").isin(already_done))
         per_bucket = (
             written.groupBy("bucket")
             .agg(F.count("*").alias("n_turns"),

@@ -15,6 +15,25 @@ one row per paragraph with typed span/link arrays. At 100 TB the unit of
 parallelism is the document, which matches the data: TEI files are small
 (an annotated paper each), so file-granular tasks stay balanced and the
 expensive XML parse is embarrassingly parallel.
+
+Documented divergences from the reference reader (each pinned by a test in
+tests/test_sources_tei.py; SURVEY.md §7.4 items 8-9):
+
+1. Multi-target ``corresp``: the reference splits ``corresp="#a, #b"`` on
+   ',' WITHOUT stripping, so the second pointer keeps its leading space,
+   never matches a span id, and is silently dropped — only the first
+   target of a multi-target annotation ever contributes a gold link
+   (`linking_evaluation.py:56-66`). We ``strip()`` each pointer and
+   resolve all of them: dropping annotated gold links understates recall
+   denominators for no reason other than an upstream parsing accident.
+2. Doc-level ``rel_ptrs_from`` inversion: the reference inverts the
+   pointer map unguarded (a pointer at a span id absent from the corpus
+   raises a KeyError upstream or injects a dangling entry) and stores the
+   SOURCE span's type as the value; we guard on in-corpus targets and
+   store the TARGET's type (the natural lookup for "what does this link
+   point at"). Nothing downstream of the eval queries consumes the
+   doc-level map — gold links come from the per-paragraph maps, which
+   match the reference — so the divergence is surface-only.
 """
 
 from __future__ import annotations

@@ -259,3 +259,43 @@ def test_frame_sample_is_relational_and_matches_decode_seam(spark):
     key = lambda r: (r.doc_id, r.frame_idx)
     assert sorted(relational.collect(), key=key) == \
         sorted(seam.collect(), key=key)
+
+
+def test_checkpoint_resume_with_reused_run_id_counts_only_new_work(spark, turns):
+    """A resume that reuses the prior attempt's run_id must not count that
+    attempt's already-committed buckets as processed again: counters read
+    back only the pending buckets, and no bucket appears in both
+    buckets_processed and buckets_skipped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    workdir = tempfile.mkdtemp(prefix="ckpt-reuse-")
+    out_dir = f"{workdir}/out"
+    manifest_dir = f"{workdir}/manifest"
+    try:
+        from material_parsers_spark.pipeline.checkpoint import with_bucket
+
+        bucketed = with_bucket(turns, n_buckets=8)
+        subset_buckets = [0, 1, 2]
+        partial = bucketed.where(
+            F.col("bucket").isin(subset_buckets)).drop("bucket")
+        first = run_with_checkpoint(partial, out_dir, manifest_dir,
+                                    run_id="attempt", n_buckets=8)
+        assert sorted(first["buckets_processed"]) == subset_buckets
+
+        resumed = run_with_checkpoint(turns, out_dir, manifest_dir,
+                                      run_id="attempt", n_buckets=8)
+        assert set(resumed["buckets_processed"]).isdisjoint(
+            resumed["buckets_skipped"])
+        assert sorted(resumed["buckets_skipped"]) == subset_buckets
+        first_turns = bucketed.where(
+            F.col("bucket").isin(subset_buckets)).count()
+        assert resumed["turns_processed"] == N_TURNS - first_turns
+
+        written = spark.read.parquet(out_dir)
+        assert written.count() == N_TURNS
+        assert written.select("conv_id", "turn_idx").distinct().count() \
+            == N_TURNS
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

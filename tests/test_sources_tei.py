@@ -154,3 +154,33 @@ def test_evaluate_linking_distributed(tmp_path):
     assert row.micro_precision == 0.75
     assert row.micro_recall == 0.75
     assert row.macro_f1 == 0.75
+
+
+def test_multi_target_corresp_resolves_all_pointers():
+    """Documented divergence (SURVEY.md §7.4 item 8): the reference splits
+    corresp on ',' WITHOUT stripping, so '#m2,#m1' and '#a, #b' forms drop
+    every pointer after the first; we strip and resolve all of them."""
+    paragraphs, rel_from, rel_to = parse_tei_paragraphs(TEI)
+    body = paragraphs[2]
+    # t2 -> both m2 (same paragraph) and m1 (cross-paragraph)
+    assert set(rel_to.keys()) == {"m1", "m2"}
+    assert rel_to["m2"] == {"t2": "<tcValue>"}
+    assert rel_to["m1"] == {"t1": "<tcValue>", "t2": "<tcValue>"}
+    # paragraph-local maps drop the cross-paragraph pointer only
+    assert body["rel_ptrs_to"]["m1"] == {"t2": "<tcValue>"}
+    assert body["rel_ptrs_from"] == {"t2": {"m2": "<material>"}}
+
+
+def test_doc_level_rel_ptrs_from_guard_and_type():
+    """Documented divergence (SURVEY.md §7.4 item 9): the doc-level
+    inversion guards on in-corpus targets and stores the TARGET span's
+    type (the reference stores the source's type, unguarded)."""
+    tei = TEI.replace('corresp="#m1"', 'corresp="#m1,#ghost"')
+    _, rel_from, rel_to = parse_tei_paragraphs(tei)
+    # the dangling '#ghost' pointer is recorded in rel_ptrs_to but never
+    # inverted into rel_ptrs_from (no KeyError, no dangling entry)
+    assert "ghost" in rel_to
+    assert all("ghost" not in targets for targets in rel_from.values())
+    # values are the TARGET's type: t1 points at material m1
+    assert rel_from["t1"] == {"m1": "<material>"}
+    assert rel_from["t2"] == {"m2": "<material>", "m1": "<material>"}
