@@ -107,7 +107,11 @@ def sc_comics_corpus_to_tei(spark, input_dir: str, output_dir: str,
                             split_sentences: bool = False) -> int:
     """Distributed S12: (.ann, .txt) pairs -> one TEI per document.
     Entities group per file via the S7 reader; serialization runs inside
-    applyInPandas. Returns the number of documents written."""
+    applyInPandas; the per-document files are written BY THE EXECUTORS
+    (foreachPartition), so nothing funnels through the driver — on a real
+    cluster ``output_dir`` is shared storage (NFS/object store mount) and
+    each task writes its own documents, names unique per doc so there are
+    no conflicts. Returns the number of documents written."""
     import os
 
     import pandas as pd
@@ -134,14 +138,22 @@ def sc_comics_corpus_to_tei(spark, input_dir: str, output_dir: str,
             })
         return pd.DataFrame(rows, columns=["file", "tei"])
 
-    out = (docs.groupBy("file")
-           .applyInPandas(build, schema="file string, tei string")
-           .collect())
-    for row in out:
-        with open(os.path.join(output_dir, row.file), "w",
-                  encoding="utf-8") as fh:
-            fh.write(row.tei)
-    return len(out)
+    converted = docs.groupBy("file").applyInPandas(
+        build, schema="file string, tei string")
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            path = os.path.join(output_dir, row.file)
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(row.tei)
+            os.replace(tmp, path)
+
+    converted.foreachPartition(write_partition)
+    # count what landed, not what was planned (cheap listing; the corpus
+    # is one file per document)
+    return len([n for n in os.listdir(output_dir)
+                if n.endswith(".tei.xml")])
 
 
 # ---------------------------------------------------------------------------

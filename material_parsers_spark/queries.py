@@ -185,24 +185,19 @@ def linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full reader+linker+join+aggregation chain against a constant
     oracle, not a trivial all-ones result."""
     from .pipeline.evaluation import evaluate_linking
-    from .sources.tei import read_tei
 
-    return evaluate_linking(read_tei(spark, _tei_eval_corpus() + "/*.xml"))
+    return evaluate_linking(_tei_eval_corpus_df(spark))
 
 
-def _tei_eval_corpus() -> str:
-    """Shared deterministic TEI corpus for the TEI-sourced queries."""
-    import os
-    import tempfile
+def _tei_eval_corpus_df(spark: SparkSession) -> DataFrame:
+    """Shared deterministic TEI corpus for the TEI-sourced queries,
+    synthesized ON THE EXECUTORS and parsed without ever touching a
+    filesystem path (cluster-safe: no driver tempdir, no shared-storage
+    assumption — the corpus is a DataFrame end to end)."""
+    from .sources.tei import parse_tei_df, synthesize_tei_corpus_df
 
-    from .sources.tei import synthesize_tei_corpus
-
-    corpus = os.path.join(tempfile.gettempdir(),
-                          "material_parsers_spark_tei_eval_v1")
-    marker = os.path.join(corpus, "doc-00039.tei.xml")
-    if not os.path.exists(marker):
-        synthesize_tei_corpus(corpus, n_docs=40, paragraphs_per_doc=4)
-    return corpus
+    return parse_tei_df(
+        synthesize_tei_corpus_df(spark, n_docs=40, paragraphs_per_doc=4))
 
 
 @_register("corpus_statistics", """
@@ -219,10 +214,8 @@ def corpus_statistics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     are frozen goldens of the deterministic reader+analysis chain (40
     docs x [1 title + 3 simple + 1 decoy paragraphs])."""
     from .pipeline.evaluation import corpus_statistics
-    from .sources.tei import read_tei
 
-    per_doc = corpus_statistics(
-        read_tei(spark, _tei_eval_corpus() + "/*.xml"))
+    per_doc = corpus_statistics(_tei_eval_corpus_df(spark))
     return per_doc.agg(
         F.count("*").alias("n_docs"),
         F.sum("sentences").alias("sentences"),
@@ -247,10 +240,8 @@ def class_content_distribution_query(spark: SparkSession,
     corpus (trailing spaces in the top contents come from the
     reference's tag-space quirk, replicated by the reader)."""
     from .pipeline.evaluation import class_content_distribution
-    from .sources.tei import read_tei
 
-    return class_content_distribution(
-        read_tei(spark, _tei_eval_corpus() + "/*.xml"))
+    return class_content_distribution(_tei_eval_corpus_df(spark))
 
 
 @_register("conversation_span_stats")

@@ -237,13 +237,22 @@ def read_tei(spark, path: str):
     input row) and parses inside an Arrow-batched ``mapInPandas`` — the
     scan parallelizes by file, nothing touches the driver.
     """
-    import pandas as pd
     from pyspark.sql import functions as F
 
     raw = (
         spark.read.text(path, wholetext=True)
         .withColumn("doc_id", F.input_file_name())
     )
+    return parse_tei_df(raw)
+
+
+def parse_tei_df(raw):
+    """Parse stage over any ``(doc_id string, value string)`` DataFrame of
+    whole XML documents — the same Arrow-batched mapInPandas ``read_tei``
+    uses, exposed separately so corpora synthesized or staged as
+    DataFrames (e.g. out of an Iceberg table of raw XML) never touch a
+    filesystem path at all."""
+    import pandas as pd
 
     def parse_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for batch in batches:
@@ -326,61 +335,91 @@ def write_tei_document(paragraphs: List[dict],
     return "\n".join(out)
 
 
+def synthesize_tei_document(doc: int, paragraphs_per_doc: int = 4) -> str:
+    """One deterministic annotated-TEI document derived purely from its
+    index (no RNG), with material/tcValue spans and corresp links
+    replicating the reference corpora's annotation shape. Pure function
+    of ``doc`` so synthesis can run on any executor."""
+    materials = ["MgB 2", "CsFe2As2", "LaFeBO7", "NbB 2", "CuFrO2"]
+    paragraphs = []
+    for para in range(paragraphs_per_doc):
+        material = materials[(doc + para) % len(materials)]
+        tc = f"{(doc * 7 + para * 3) % 90 + 3} K"
+        mat_id = f"m{doc}-{para}"
+        tc_id = f"t{doc}-{para}"
+        if para % 4 == 3:
+            # hard annotation: the gold link points at a decoy
+            # material mentioned earlier, while the nearest material
+            # is a different one — a rule-based linker mislinks here
+            # by construction, so evaluation metrics are non-trivial
+            decoy = materials[(doc + para + 2) % len(materials)]
+            decoy_id = f"d{doc}-{para}"
+            text = (f"{decoy} was studied before. The material "
+                    f"{material} superconducts at {tc} in run {doc}.")
+            decoy_start = text.index(decoy)
+            mat_start = text.index(material, decoy_start + len(decoy))
+            tc_start = text.index(tc)
+            spans = [
+                {"id": decoy_id, "type": "<material>",
+                 "offset_start": decoy_start,
+                 "offset_end": decoy_start + len(decoy)},
+                {"id": mat_id, "type": "<material>",
+                 "offset_start": mat_start,
+                 "offset_end": mat_start + len(material)},
+                {"id": tc_id, "type": "<tcValue>",
+                 "offset_start": tc_start,
+                 "offset_end": tc_start + len(tc),
+                 "corresp": f"#{decoy_id}"},
+            ]
+        else:
+            text = (f"The material {material} superconducts at {tc} "
+                    f"in run {doc}.")
+            mat_start = text.index(material)
+            tc_start = text.index(tc)
+            spans = [
+                {"id": mat_id, "type": "<material>",
+                 "offset_start": mat_start,
+                 "offset_end": mat_start + len(material)},
+                {"id": tc_id, "type": "<tcValue>",
+                 "offset_start": tc_start,
+                 "offset_end": tc_start + len(tc),
+                 "corresp": f"#{mat_id}"},
+            ]
+        paragraphs.append({"text": text, "spans": spans})
+    return write_tei_document(paragraphs, title=f"doc {doc}")
+
+
+def synthesize_tei_corpus_df(spark, n_docs: int,
+                             paragraphs_per_doc: int = 4):
+    """Cluster-safe corpus synthesis: the XML documents are generated ON
+    THE EXECUTORS (mapInPandas over ``spark.range``) and returned as a
+    ``(doc_id, value)`` DataFrame ready for ``parse_tei_df`` — no driver
+    filesystem, no local tempdir, works unchanged on a 1000-executor
+    cluster where the driver's disk is not shared storage."""
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [f"doc-{int(i):05d}.tei.xml" for i in pdf["id"]],
+                "value": [synthesize_tei_document(int(i), paragraphs_per_doc)
+                          for i in pdf["id"]],
+            })
+
+    parts = min(n_docs, max(spark.sparkContext.defaultParallelism, 1))
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        build, schema="doc_id string, value string")
+
+
 def synthesize_tei_corpus(directory: str, n_docs: int,
                           paragraphs_per_doc: int = 4) -> None:
-    """Deterministic annotated-TEI corpus: every doc derives from its index
-    (no RNG), with material/tcValue spans and corresp links replicating
-    the reference corpora's annotation shape."""
+    """Driver-local corpus files (annotation-tooling convenience and the
+    file-reader tests' input; distributed pipelines should use
+    ``synthesize_tei_corpus_df`` + ``parse_tei_df`` instead)."""
     import os
 
     os.makedirs(directory, exist_ok=True)
-    materials = ["MgB 2", "CsFe2As2", "LaFeBO7", "NbB 2", "CuFrO2"]
     for doc in range(n_docs):
-        paragraphs = []
-        for para in range(paragraphs_per_doc):
-            material = materials[(doc + para) % len(materials)]
-            tc = f"{(doc * 7 + para * 3) % 90 + 3} K"
-            mat_id = f"m{doc}-{para}"
-            tc_id = f"t{doc}-{para}"
-            if para % 4 == 3:
-                # hard annotation: the gold link points at a decoy
-                # material mentioned earlier, while the nearest material
-                # is a different one — a rule-based linker mislinks here
-                # by construction, so evaluation metrics are non-trivial
-                decoy = materials[(doc + para + 2) % len(materials)]
-                decoy_id = f"d{doc}-{para}"
-                text = (f"{decoy} was studied before. The material "
-                        f"{material} superconducts at {tc} in run {doc}.")
-                decoy_start = text.index(decoy)
-                mat_start = text.index(material, decoy_start + len(decoy))
-                tc_start = text.index(tc)
-                spans = [
-                    {"id": decoy_id, "type": "<material>",
-                     "offset_start": decoy_start,
-                     "offset_end": decoy_start + len(decoy)},
-                    {"id": mat_id, "type": "<material>",
-                     "offset_start": mat_start,
-                     "offset_end": mat_start + len(material)},
-                    {"id": tc_id, "type": "<tcValue>",
-                     "offset_start": tc_start,
-                     "offset_end": tc_start + len(tc),
-                     "corresp": f"#{decoy_id}"},
-                ]
-            else:
-                text = (f"The material {material} superconducts at {tc} "
-                        f"in run {doc}.")
-                mat_start = text.index(material)
-                tc_start = text.index(tc)
-                spans = [
-                    {"id": mat_id, "type": "<material>",
-                     "offset_start": mat_start,
-                     "offset_end": mat_start + len(material)},
-                    {"id": tc_id, "type": "<tcValue>",
-                     "offset_start": tc_start,
-                     "offset_end": tc_start + len(tc),
-                     "corresp": f"#{mat_id}"},
-                ]
-            paragraphs.append({"text": text, "spans": spans})
         with open(os.path.join(directory, f"doc-{doc:05d}.tei.xml"),
                   "w", encoding="utf-8") as fh:
-            fh.write(write_tei_document(paragraphs, title=f"doc {doc}"))
+            fh.write(synthesize_tei_document(doc, paragraphs_per_doc))
