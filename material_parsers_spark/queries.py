@@ -244,6 +244,29 @@ def class_content_distribution_query(spark: SparkSession,
     return class_content_distribution(_tei_eval_corpus_df(spark))
 
 
+@_register("tagger_spans")
+def tagger_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 batched-inference seam as a query: the pluggable tagging stage
+    (pipeline/inference.py, rule payload — swap in a trained model via
+    the payload argument) over the turns table, spans exploded per turn.
+    Shuffle-free: one ArrowEvalPython over the narrow text projection."""
+    from .pipeline.inference import tag_turns
+
+    turns = _turns_for(spark, sf_dir)
+    return (
+        tag_turns(turns.select("conv_id", "turn_idx", "text"))
+        .select("conv_id", "turn_idx",
+                F.explode("tagged_spans").alias("span"))
+        .select(
+            "conv_id", "turn_idx",
+            F.col("span.text").alias("span_text"),
+            F.col("span.type").alias("span_type"),
+            F.col("span.offset_start").alias("offset_start"),
+            F.col("span.offset_end").alias("offset_end"),
+        )
+    )
+
+
 @_register("conversation_span_stats")
 def conversation_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase per-conversation rollup (skew-safe)."""
