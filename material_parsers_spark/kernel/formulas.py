@@ -9,12 +9,19 @@ README.md:25-94):
   ("(Mo 0.96 Zr 0.04 ) 0.85 B x" -> {Mo: "0.816", Zr: "0.034", B: "x"});
 - amounts stay **strings** — "1-x" is legal, numbers are exact decimals;
 - the error-retry ladder: parse as-is, then retry after U+2212 -> '-' and
-  char-confusion normalization; unparseable input degrades to {} rather than
-  raising (same as the reference's swallow-to-None).
+  char-confusion normalization, then retry as a MULTI-PART expression:
+  hydrates/adducts ("CuSO4·5H2O"), coefficient mixtures
+  ("(1-x)BiFeO3-xBaTiO3", "0.9MgB2-0.1Ti") and phase prefixes
+  ("α-Fe2O3", "h-BN"). Multi-part input returns the FIRST part's
+  composition, mirroring the reference's `composition[0].elements`
+  selection over text2chem's part list (`material_parser_formulas.py:72-73`
+  — part elements are NOT multiplied by the part coefficient there
+  either); unparseable input degrades to {} rather than raising (same as
+  the reference's swallow-to-None).
 
-Out of scope (documented divergence): hydrates, mixtures, phase prefixes and
-the full chemical-name grammar; element names (Hydrogen -> H) cover the
-name->formula fixtures.
+Out of scope (documented divergence): the full chemical-name grammar
+(text2chem's ChemicalNameProcessing dictionary); element names
+(Hydrogen -> H) cover the name->formula fixtures.
 """
 
 from __future__ import annotations
@@ -120,8 +127,51 @@ def parse_composition(formula: str) -> Dict[str, str]:
     return composition
 
 
+# multi-part separators: hydrate/adduct dots and '*'; mixture hyphens and
+# '+' split only when what follows looks like a component start (an
+# optional coefficient — decimal, variable, or "(1-x)"-style expression —
+# then an element or group), so amount expressions like "2-x" never split
+_DOT_SEP = re.compile(r"[·⋅∙*]")
+_COEF = r"(?:\d+(?:\.\d+)?|[xyz]|\(\d+(?:\.\d+)?[+\-−][xyz]\))"
+_MIX_SEP = re.compile(rf"[+\-−](?={_COEF}?[A-Z])")
+_LEAD_COEF = re.compile(rf"^{_COEF}(?=[A-Z(])")
+# single greek or lowercase latin phase letter glued by a hyphen
+_PHASE_PREFIX = re.compile(r"^([α-ωΑ-Ω]|[a-z])[-−](?=[A-Z(])")
+
+
+def _split_parts(text: str) -> list:
+    """Candidate components of a multi-part expression, in order."""
+    stripped = _PHASE_PREFIX.sub("", text)
+    parts = []
+    for dotted in _DOT_SEP.split(stripped):
+        parts.extend(p for p in _MIX_SEP.split(dotted) if p)
+    return parts
+
+
+def _parse_multipart(text: str) -> Optional[Dict[str, str]]:
+    """Third retry rung: hydrates, mixtures, phase prefixes. Returns the
+    FIRST component that parses (the reference picks
+    ``composition[0].elements`` from text2chem's part list and does not
+    multiply by the part coefficient; we mirror both choices)."""
+    parts = _split_parts(text)
+    if len(parts) < 2 and parts == [text]:
+        return None  # nothing was split or stripped; not multi-part
+    for part in parts:
+        for candidate in (part, _LEAD_COEF.sub("", part)):
+            if not candidate:
+                continue
+            try:
+                return parse_composition(candidate)
+            except ValueError:
+                continue
+    return None
+
+
 def formula_to_composition(formula: str) -> dict:
-    """Retry-ladder wrapper mirroring `material_parser_formulas.py:37-75`.
+    """Retry-ladder wrapper mirroring `material_parser_formulas.py:37-75`,
+    extended with a multi-part rung (hydrates / mixtures / phase
+    prefixes — the text2chem preprocessing steps the reference pipeline
+    registers at `material_parser_formulas.py:18-25`).
 
     Returns ``{"composition": {...}}`` or ``{}`` when parsing fails after
     retries (the reference swallows terminal failures the same way).
@@ -136,7 +186,7 @@ def formula_to_composition(formula: str) -> dict:
         try:
             composition = parse_composition(cleaned)
         except ValueError:
-            composition = None
+            composition = _parse_multipart(cleaned)
     if composition:
         return {"composition": composition}
     return {}

@@ -88,3 +88,48 @@ class TestNameToFormula:
         out = name_to_formula("MgB2")
         assert out["composition"] == {"Mg": "1", "B": "2"}
         assert out["formula"] == "MgB2"
+
+
+class TestMultiPartFormulas:
+    """Third retry rung: hydrates, mixtures, phase prefixes. Multi-part
+    input returns the FIRST part's composition un-multiplied, mirroring
+    the reference's composition[0].elements selection
+    (material_parser_formulas.py:72-73)."""
+
+    def test_hydrate_dot(self):
+        out = formula_to_composition("CuSO4·5H2O")
+        assert out["composition"] == {"Cu": "1", "S": "1", "O": "4"}
+
+    def test_hydrate_star_and_spaces(self):
+        out = formula_to_composition("CaCl2 * 2H2O")
+        assert out["composition"] == {"Ca": "1", "Cl": "2"}
+
+    def test_coefficient_mixture(self):
+        out = formula_to_composition("0.9MgB2-0.1Ti")
+        assert out["composition"] == {"Mg": "1", "B": "2"}
+
+    def test_expression_coefficient_mixture(self):
+        out = formula_to_composition("(1-x)BiFeO3-xBaTiO3")
+        assert out["composition"] == {"Bi": "1", "Fe": "1", "O": "3"}
+
+    def test_plus_mixture(self):
+        out = formula_to_composition("MgB2+SiC")
+        assert out["composition"] == {"Mg": "1", "B": "2"}
+
+    def test_phase_prefix_greek(self):
+        out = formula_to_composition("α-Fe2O3")
+        assert out["composition"] == {"Fe": "2", "O": "3"}
+
+    def test_phase_prefix_latin(self):
+        out = formula_to_composition("h-BN")
+        assert out["composition"] == {"B": "1", "N": "1"}
+
+    def test_single_part_amount_expressions_never_split(self):
+        # "2-x" is an amount, not a mixture separator
+        assert formula_to_composition("CaBr2-x")["composition"] == \
+            {"Ca": "1", "Br": "2-x"}
+        assert formula_to_composition("LaO1-xFx")["composition"] == \
+            {"La": "1", "O": "1-x", "F": "x"}
+
+    def test_junk_still_degrades_to_empty(self):
+        assert formula_to_composition("α-???·junk") == {}
