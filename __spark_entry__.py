@@ -3,8 +3,11 @@
 ``entry`` runs the flagship extraction on sf0.001-scale data;
 ``queries``/``oracle_sql`` expose the operator suite from SURVEY.md §2 plus
 the training-data operators (dedup, similarity search, text analysis,
-multimodal plumbing). Extraction queries are UDF-driven and get rows-only
-checks; everything else carries a DuckDB oracle.
+multimodal plumbing). Every query carries a DuckDB oracle: the UDF-driven
+extraction queries use frozen-golden parquet fixtures (row-level
+hash-checkable; see the golden block at the end of
+material_parsers_spark/queries.py), everything else an equivalent SQL
+re-expression.
 """
 
 from __future__ import annotations

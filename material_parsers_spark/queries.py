@@ -12,6 +12,7 @@ read as a base-16 integer — identical in Spark (`conv`) and DuckDB
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1521,3 +1522,38 @@ def clear_extraction_cache() -> None:
     for frame in _EXTRACTED_CACHE.values():
         frame.unpersist()
     _EXTRACTED_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# frozen-golden oracles for the extraction path
+# ---------------------------------------------------------------------------
+# The extraction queries run Python kernels no SQL engine can re-express, so
+# their oracles are FROZEN GOLDENS: the deterministic turns corpus (pure
+# function of n; n is pinned by the sf directory name) means each query's
+# full result set can be frozen once as a parquet fixture and read back by
+# DuckDB — the driver then hash-compares Spark's live rows against the
+# frozen expectation at row level, the strongest form of the
+# constant-oracle technique already used for linking_eval. Regenerate with
+# `python tools/freeze_goldens.py` after any deliberate kernel change (the
+# sf0.001 drift test in tests/test_golden_extraction.py fails loudly on
+# accidental ones). The oracle constants pin sf0.01 — the driver's
+# correctness scale.
+
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "resources", "golden")
+
+GOLDEN_QUERIES = (
+    "extract_materials",
+    "extract_spans",
+    "extract_structures",
+    "extract_links",
+    "conversation_span_stats",
+    "tagger_spans",
+)
+
+def golden_path(sf_name: str, query: str) -> str:
+    return os.path.join(_GOLDEN_DIR, sf_name, f"{query}.parquet")
+
+for _name in GOLDEN_QUERIES:
+    ORACLE_SQL[_name] = (
+        f"SELECT * FROM read_parquet('{golden_path('sf0.01', _name)}')")
