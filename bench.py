@@ -78,8 +78,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     only = os.environ.get("BENCH_ONLY")
     names = [n for n in (HEADLINE if not only else only.split(","))
              if n in runnable]
+    samples: dict = {}
     for name in names:
-        best = None
+        reps = []
         for _ in range(3):  # min-of-3: the shared host shows bursty steal
             if name == "extract_materials":
                 # the flagship must pay the Python UDF stage every rep;
@@ -90,12 +91,25 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                 clear_extraction_cache()
             start = time.time()
             materialize(runnable[name](spark, sf_dir))
-            elapsed = time.time() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            reps.append(round(time.time() - start, 3))
+        samples[name] = reps
+        timings[name] = min(reps)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+
+    # host calibration measured IN THIS RUN: per-process busy-loop rate at
+    # 1 and at `cpus` concurrently busy CPUs. per_core_ceiling < 1 means
+    # the shared VM throttled wide runs during this bench — it makes
+    # cross-round flagship deltas attributable (a slower flagship with a
+    # lower ceiling is host noise, not a regression).
+    rate_1 = busy_rate(1)
+    rate_n = busy_rate(cpus)
+    host = {
+        "busy_rate_1proc": round(rate_1),
+        f"busy_rate_{cpus}proc": round(rate_n),
+        "per_core_ceiling": round(rate_n / rate_1, 3),
+    }
 
     # flagship throughput: turns/sec through the full extraction pipeline
     n_turns = int(os.environ.get(
@@ -110,40 +124,47 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "host": host,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "turns_per_sec": turns_per_sec,
     }
 
 
-def host_ceiling(lo_busy: int, hi_busy: int, seconds: int = 6) -> float:
+def busy_rate(nproc: int, seconds: float = 3.0) -> float:
+    """Per-process counts/sec of a pure-Python busy loop with ``nproc``
+    concurrently busy CPUs. Each worker burns a fixed DURATION from the
+    moment it starts (not until a pre-computed deadline), so pool spawn
+    time — which grows with process count — cannot eat into the
+    measurement window and bias wide-run rates low."""
+    import multiprocessing as mp
+    import statistics
+
+    with mp.Pool(nproc) as pool:
+        results = [pool.apply_async(_burn, (seconds,))
+                   for _ in range(nproc)]
+        counts = [r.get() for r in results]
+    return statistics.mean(counts) / seconds
+
+
+def host_ceiling(lo_busy: int, hi_busy: int, seconds: float = 6.0) -> float:
     """Measured hardware/VM ceiling for this host: per-process throughput
     of a pure-Python busy loop (no Spark, no I/O) at hi_busy vs lo_busy
     concurrently busy CPUs. Shared-VM frequency scaling and steal make
     wide runs slower per core; a real N vs 4N EXECUTOR cluster (separate
     machines) does not see this, so the raw Spark ratio is reported both
     as measured and normalized by this ceiling."""
-    import multiprocessing as mp
-    import statistics
-
-    def rate(nproc: int) -> float:
-        stop = time.time() + seconds
-
-        with mp.Pool(nproc) as pool:
-            results = [pool.apply_async(_burn, (stop,))
-                       for _ in range(nproc)]
-            counts = [r.get() for r in results]
-        return statistics.mean(counts) / seconds
-
     # interleave to cancel slow drift in host load
     lo_rates, hi_rates = [], []
     for _ in range(2):
-        hi_rates.append(rate(hi_busy))
-        lo_rates.append(rate(lo_busy))
+        hi_rates.append(busy_rate(hi_busy, seconds))
+        lo_rates.append(busy_rate(lo_busy, seconds))
     return round(max(hi_rates) / max(lo_rates), 3)
 
 
-def _burn(stop_time: float) -> int:
+def _burn(seconds: float) -> int:
+    stop_time = time.time() + seconds
     count = 0
     while time.time() < stop_time:
         count += 1

@@ -21,6 +21,8 @@ QUERIES = [
     "similarity_ann_lsh",
     "linking_eval",
     "stable_ordering",
+    "tagger_spans",
+    "multimodal_frame_sample",
 ]
 
 
