@@ -46,6 +46,16 @@ def main(argv=None) -> int:
     stream.add_argument("--checkpoint", required=True)
     stream.add_argument("--master", default=None)
 
+    tag = sub.add_parser(
+        "tag", help="batched tagging stage only (pipeline/inference.py); "
+                    "swap the payload in code for a trained model")
+    tag.add_argument("--input", help="turns parquet dir")
+    tag.add_argument("--generate", type=int, default=0)
+    tag.add_argument("--output", required=True)
+    tag.add_argument("--max-sequence-length", type=int, default=3000)
+    tag.add_argument("--batch-size", type=int, default=32)
+    tag.add_argument("--master", default=None)
+
     args = parser.parse_args(argv)
 
     from .pipeline.session import build_session
@@ -72,6 +82,23 @@ def main(argv=None) -> int:
         from .streaming.turn_stream import run_stream_once
         run_stream_once(spark, args.input, args.output, args.checkpoint)
         print(json.dumps({"status": "drained", "output": args.output}))
+        return 0
+
+    if args.command == "tag":
+        from .pipeline.inference import tag_turns
+        from .pipeline.transcripts import generate_turns
+
+        if args.generate:
+            turns = generate_turns(spark, args.generate)
+        elif args.input:
+            turns = spark.read.parquet(args.input)
+        else:
+            parser.error("provide --input or --generate")
+        tagged = tag_turns(turns.select("conv_id", "turn_idx", "text"),
+                           max_sequence_length=args.max_sequence_length,
+                           batch_size=args.batch_size)
+        tagged.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"status": "tagged", "output": args.output}))
         return 0
 
     return 1
