@@ -82,10 +82,13 @@ def test_expand_formula_total(formula):
     assert isinstance(out, list) and len(out) >= 1
 
 
-@given(st.text(alphabet=string.ascii_letters + string.digits + " ().-−",
+@given(st.text(alphabet=string.ascii_letters + string.digits + " ().-−·⋅*+αβγh",
                max_size=60))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=300, deadline=None)
 def test_classification_total(formula):
+    """Totality over the full grammar incl. the multi-part rung
+    (hydrate dots, mixture +/-, phase prefixes): degrade-to-{} on junk,
+    never raise."""
     assert isinstance(get_class(formula), str)
     assert isinstance(decompose_formula(formula), list)
     out = formula_to_composition(formula)
