@@ -117,7 +117,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         {"0.001": 4_000, "0.01": 40_000, "0.1": 400_000}.get(sf, 40_000)))
     flagship = timings.get("extract_materials",
                            timings.get("extraction_job"))
-    turns_per_sec = round(n_turns / flagship, 1)
+    # a BENCH_ONLY subset may exclude both flagship jobs; still emit the
+    # JSON line (turns/s is a flagship metric, null without one)
+    turns_per_sec = round(n_turns / flagship, 1) if flagship else None
 
     return {
         "metric": "headline_suite_total",

@@ -109,9 +109,11 @@ def sc_comics_corpus_to_tei(spark, input_dir: str, output_dir: str,
     Entities group per file via the S7 reader; serialization runs inside
     applyInPandas; the per-document files are written BY THE EXECUTORS
     (foreachPartition), so nothing funnels through the driver — on a real
-    cluster ``output_dir`` is shared storage (NFS/object store mount) and
-    each task writes its own documents, names unique per doc so there are
-    no conflicts. Returns the number of documents written."""
+    cluster ``output_dir`` is shared storage (NFS/object store mount),
+    each task writes through an attempt-unique tmp name and commits with
+    an atomic rename, so concurrent speculative/retried attempts cannot
+    corrupt a document. Returns the number of documents this run
+    converted."""
     import os
 
     import pandas as pd
@@ -139,21 +141,29 @@ def sc_comics_corpus_to_tei(spark, input_dir: str, output_dir: str,
         return pd.DataFrame(rows, columns=["file", "tei"])
 
     converted = docs.groupBy("file").applyInPandas(
-        build, schema="file string, tei string")
+        build, schema="file string, tei string").persist()
 
     def write_partition(rows) -> None:
+        import uuid
         for row in rows:
             path = os.path.join(output_dir, row.file)
-            tmp = path + ".tmp"
+            # tmp name unique PER ATTEMPT: a speculative or retried task
+            # racing a zombie attempt on shared storage must never
+            # interleave writes into one tmp file; os.replace then makes
+            # whichever attempt finishes last win atomically with a
+            # complete document either way
+            tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write(row.tei)
             os.replace(tmp, path)
 
     converted.foreachPartition(write_partition)
-    # count what landed, not what was planned (cheap listing; the corpus
-    # is one file per document)
-    return len([n for n in os.listdir(output_dir)
-                if n.endswith(".tei.xml")])
+    # the number of documents THIS run wrote (the persisted frame is
+    # reused, so this does not re-run the conversion); a pre-populated
+    # output_dir does not inflate it
+    n_written = converted.count()
+    converted.unpersist()
+    return n_written
 
 
 # ---------------------------------------------------------------------------

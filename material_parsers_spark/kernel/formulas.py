@@ -133,7 +133,9 @@ def parse_composition(formula: str) -> Dict[str, str]:
 # then an element or group), so amount expressions like "2-x" never split
 _DOT_SEP = re.compile(r"[·⋅∙*]")
 _COEF = r"(?:\d+(?:\.\d+)?|[xyz]|\(\d+(?:\.\d+)?[+\-−][xyz]\))"
-_MIX_SEP = re.compile(rf"[+\-−](?={_COEF}?[A-Z])")
+# a component may start with an element OR a parenthesized group
+# ("BiFeO3-(K0.5Na0.5)NbO3"), with or without a leading coefficient
+_MIX_SEP = re.compile(rf"[+\-−](?={_COEF}?[A-Z(])")
 _LEAD_COEF = re.compile(rf"^{_COEF}(?=[A-Z(])")
 # single greek or lowercase latin phase letter glued by a hyphen
 _PHASE_PREFIX = re.compile(r"^([α-ωΑ-Ω]|[a-z])[-−](?=[A-Z(])")

@@ -117,6 +117,14 @@ def tag_turns(turns: DataFrame,
             for at in range(0, len(items), batch_size):
                 window = items[at:at + batch_size]
                 results = tagger([seq for _, _, _, seq in window])
+                if len(results) != len(window):
+                    # fail loudly: a payload returning a short/long list
+                    # (e.g. a model runtime dropping empty sequences)
+                    # would otherwise silently misalign spans onto the
+                    # wrong turns for the rest of the batch
+                    raise ValueError(
+                        f"tagger payload returned {len(results)} results "
+                        f"for a batch of {len(window)} sequences")
                 for (row_idx, token_shift, char_shift, _), spans in zip(
                         window, results):
                     for span in spans:

@@ -854,9 +854,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hot (lang, len-bucket) block — thousands of short same-language
     web documents, the common crawl case — would otherwise materialize
     one giant members array and a quadratic in-row pair expansion inside
-    a single task. Mass-duplicate clusters past the cap are the
-    dedup_minhash_components path's job (O(n) representative edges, no
-    cap)."""
+    a single task. The trade-off is explicit RECALL loss, not just on
+    mass-duplicate clusters: in any block larger than 32 members, pairs
+    where both docs rank past the cap (by doc_id) are never scored, even
+    genuine near-dups. The DuckDB oracle applies the identical cap (the
+    gate checks the capped semantics, it cannot detect the dropped
+    pairs). Corpora where that matters should use
+    dedup_minhash_components — O(n) representative edges, no cap — as
+    the at-scale recall path; this query is the bounded-cost
+    pairwise-similarity surface."""
     docs = _read(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
     shingled = _shingles_df(docs).join(

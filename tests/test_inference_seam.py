@@ -118,3 +118,16 @@ def test_swapped_payload_flows_through_injected_labels(spark):
     assert [s.asDict() for s in row.tagged_spans] == [
         {"text": "Alpha", "type": "<injected>", "offset_start": 0,
          "offset_end": 5, "token_start": 0, "token_end": 1}]
+
+
+def test_payload_length_mismatch_raises(spark):
+    """A payload returning fewer results than sequences must fail loudly,
+    never silently misalign spans onto the wrong turns."""
+    def short_payload(batch):
+        return [[] for _ in batch][:-1]
+
+    df = spark.createDataFrame(
+        [("c", 0, "Alpha beta"), ("c", 1, "Gamma delta")],
+        "conv_id string, turn_idx int, text string")
+    with pytest.raises(Exception, match="payload returned"):
+        tag_turns(df, payload=short_payload).collect()

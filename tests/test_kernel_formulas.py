@@ -133,3 +133,8 @@ class TestMultiPartFormulas:
 
     def test_junk_still_degrades_to_empty(self):
         assert formula_to_composition("α-???·junk") == {}
+
+    def test_paren_group_component_mixture(self):
+        # component-first parenthesized group after the separator
+        out = formula_to_composition("BiFeO3-(K0.5Na0.5)NbO3")
+        assert out["composition"] == {"Bi": "1", "Fe": "1", "O": "3"}

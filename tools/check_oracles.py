@@ -61,6 +61,19 @@ def main():
     spark_queries = entry_module.queries()
     oracles = entry_module.oracle_sql()
 
+    # the driver-contract oracles pin the sf0.01 golden fixtures (the
+    # driver's correctness scale); when this tool is pointed at another
+    # scale with committed fixtures, swap the fixture path so the
+    # comparison stays meaningful locally
+    from material_parsers_spark.queries import GOLDEN_QUERIES, golden_path
+    sf_name = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if sf_name != "sf0.01":
+        import os
+        for name in GOLDEN_QUERIES:
+            swapped = golden_path(sf_name, name)
+            if name in oracles and os.path.exists(swapped):
+                oracles[name] = f"SELECT * FROM read_parquet('{swapped}')"
+
     failures = []
     for name, fn in spark_queries.items():
         if only and name not in only:
