@@ -1,0 +1,38 @@
+"""Suite-wide physical-plan invariants: no query may contain row-at-a-time
+Python (BatchEvalPython), and only the extraction/tagging/multimodal
+queries may contain Python at all — everything else must stay entirely
+JVM-side. Guards against a refactor silently dropping a query off the
+Arrow path or into a Python UDF."""
+
+import pytest
+
+from material_parsers_spark.pipeline.session import build_session
+from material_parsers_spark.queries import SPARK_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose plans legitimately cross into Python (always Arrow-batched)
+PYTHON_ALLOWED = {
+    "extract_materials", "extract_spans", "extract_structures",
+    "extract_links", "conversation_span_stats", "tagger_spans",
+    "linking_eval", "corpus_statistics", "class_content_distribution",
+    "multimodal_features",
+}
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return build_session(app_name="plan-invariants", master="local[4]",
+                         shuffle_partitions=4)
+
+
+@pytest.mark.parametrize("name", sorted(SPARK_QUERIES))
+def test_no_rowwise_python_and_python_only_where_expected(spark, name):
+    df = SPARK_QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, \
+        f"{name}: row-at-a-time Python UDF in the plan"
+    if name not in PYTHON_ALLOWED:
+        for node in ("ArrowEvalPython", "MapInPandas", "PythonMapInArrow",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{name}: unexpected {node} in plan"
