@@ -170,6 +170,53 @@ def extract_ordered(turns: DataFrame,
     )
 
 
+def extract_ordered_deduped(turns: DataFrame,
+                            patterns: Optional[list] = None,
+                            include_tokens: bool = False,
+                            dense_turn_idx: bool = True) -> DataFrame:
+    """``extract_ordered`` with cross-row common-subexpression
+    elimination: the Python kernel runs ONCE PER DISTINCT TEXT and the
+    results join back to every occurrence.
+
+    Real transcript corpora repeat turn texts heavily (canned tool
+    output, empty replies, boilerplate greetings); at 10^12 turns the
+    kernel cost becomes O(distinct texts) instead of O(turns) while the
+    added cost is one distinct + one hash join, both keyed on the
+    128-bit md5 of the text (collision odds negligible; the join never
+    shuffles the raw text on the probe side). Prefer the direct
+    zero-shuffle ``extract_ordered`` when texts are mostly unique — the
+    two shuffles only pay for themselves past ~2x average duplication.
+
+    Output rows are identical to ``extract_ordered`` (parity-tested)."""
+    narrow = (
+        turns.select("conv_id", "turn_idx", "text")
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .withColumn("text_hash", F.md5("text"))
+    )
+    if dense_turn_idx:
+        narrow = narrow.withColumn(
+            "turn_rank", (F.col("turn_idx") + F.lit(1)).cast("int"))
+    else:
+        window = Window.partitionBy("conv_id").orderBy("turn_idx")
+        narrow = narrow.withColumn("turn_rank", F.row_number().over(window))
+
+    distinct = narrow.select("text_hash", "text") \
+        .dropDuplicates(["text_hash"])
+    per_text = run_extraction(distinct, patterns,
+                              include_tokens=include_tokens) \
+        .select("text_hash", "extraction")
+    return (
+        narrow.drop("text")
+        .join(per_text, "text_hash")
+        .select(
+            "conv_id", "turn_idx", "turn_rank",
+            F.col("extraction.tokens").alias("tokens"),
+            F.col("extraction.spans").alias("spans"),
+            F.col("extraction.materials").alias("materials"),
+        )
+    )
+
+
 def span_counts_per_conversation(extracted: DataFrame,
                                  salt_buckets: int = 16) -> DataFrame:
     """Two-phase (salted) aggregation of span counts per conversation.

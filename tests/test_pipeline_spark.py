@@ -299,3 +299,21 @@ def test_checkpoint_resume_with_reused_run_id_counts_only_new_work(spark, turns)
             == N_TURNS
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_deduped_extraction_matches_direct_path(spark, turns):
+    """Cross-row CSE (extract once per distinct text + join back) must
+    produce row-identical output to the direct zero-shuffle path."""
+    import json as _json
+
+    from material_parsers_spark.pipeline.extraction import (
+        extract_ordered,
+        extract_ordered_deduped,
+    )
+
+    direct = extract_ordered(turns, include_tokens=False)
+    deduped = extract_ordered_deduped(turns, include_tokens=False)
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    a = sorted((r.asDict(recursive=True) for r in direct.collect()), key=key)
+    b = sorted((r.asDict(recursive=True) for r in deduped.collect()), key=key)
+    assert _json.loads(_json.dumps(a)) == _json.loads(_json.dumps(b))
