@@ -31,6 +31,8 @@ HEADLINE = [
     "linking_eval",           # TEI corpus -> linker -> micro/macro report
     "dedup_minhash_lsh",      # MinHash+LSH near-dup (capped buckets)
     "dedup_minhash_components",  # representative-edge connected components
+    "dedup_containment",      # MOSS-style winnowing containment pairs
+    "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "dedup_simhash",          # SimHash fingerprints
     "similarity_topk",        # brute-force ANN baseline
     "similarity_ann_lsh",     # multi-table sign-LSH + Hamming-1 probes

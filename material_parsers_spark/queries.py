@@ -530,6 +530,98 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("quality_gopher_rules", """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0),
+stats AS (
+  SELECT doc_id, cast(len(words) AS bigint) AS n_words,
+         round(cast(list_reduce(list_transform(words, w -> length(w)),
+                                (a, b) -> a + b) AS double)
+               / len(words), 6) AS mean_word_len
+  FROM base),
+uni AS (
+  SELECT doc_id, cast(max(c) AS bigint) AS top_uni FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(words) AS w FROM base)
+    GROUP BY doc_id, w) GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, cast(max(c) AS bigint) AS top_bi FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(words) - 1, 0)),
+                     i -> words[i] || ' ' || words[i+1])) AS g
+          FROM base)
+    GROUP BY doc_id, g) GROUP BY doc_id)
+SELECT s.doc_id, s.n_words, s.mean_word_len,
+       round(cast(u.top_uni AS double) / s.n_words, 6) AS top_unigram_frac,
+       round(cast(coalesce(b.top_bi, 0) AS double)
+             / greatest(s.n_words - 1, 1), 6) AS top_bigram_frac,
+       (s.n_words BETWEEN 50 AND 100000) AS passes_length,
+       (s.mean_word_len BETWEEN 3 AND 10) AS passes_word_len,
+       (round(cast(u.top_uni AS double) / s.n_words, 6) <= 0.2 AND
+        round(cast(coalesce(b.top_bi, 0) AS double)
+              / greatest(s.n_words - 1, 1), 6) <= 0.18)
+         AS passes_repetition
+FROM stats s JOIN uni u USING (doc_id) LEFT JOIN bi b USING (doc_id)
+""")
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rules (Rae et al. 2021, published
+    thresholds): word-count window 50-100k, mean word length 3-10, top
+    unigram <= 0.2 and top bigram <= 0.18 of occurrences. The standard
+    pre-training quality gate, entirely JVM-side: per-doc stats are
+    array algebra; the top-n-gram counts are explode -> (doc, gram)
+    hash aggregate -> per-doc max — two map-side-combinable shuffles
+    keyed on doc_id, no UDF. Comparisons use the ROUNDED fractions so
+    both engines make identical boundary decisions."""
+    docs = _read(spark, sf_dir, "documents")
+    base = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("words"))
+    )
+    n_words = F.size("words").cast("long")
+    total_chars = F.aggregate(
+        F.transform(F.col("words"), lambda w: F.length(w)),
+        F.lit(0), lambda acc, v: acc + v)
+    stats = base.select(
+        "doc_id", n_words.alias("n_words"),
+        F.round(total_chars.cast("double") / F.size("words"), 6)
+        .alias("mean_word_len"))
+
+    uni = (
+        base.select("doc_id", F.explode("words").alias("w"))
+        .groupBy("doc_id", "w").count()
+        .groupBy("doc_id").agg(F.max("count").cast("long").alias("top_uni"))
+    )
+    words = F.col("words")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                              F.element_at(words, i + 2)))
+    bi = (
+        base.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").cast("long").alias("top_bi"))
+    )
+
+    joined = stats.join(uni, "doc_id").join(bi, "doc_id", "left")
+    top_uni_frac = F.round(
+        F.col("top_uni").cast("double") / F.col("n_words"), 6)
+    top_bi_frac = F.round(
+        F.coalesce(F.col("top_bi"), F.lit(0)).cast("double")
+        / F.greatest(F.col("n_words") - 1, F.lit(1)), 6)
+    return joined.select(
+        "doc_id", "n_words", "mean_word_len",
+        top_uni_frac.alias("top_unigram_frac"),
+        top_bi_frac.alias("top_bigram_frac"),
+        F.col("n_words").between(50, 100000).alias("passes_length"),
+        F.col("mean_word_len").between(3, 10).alias("passes_word_len"),
+        ((top_uni_frac <= 0.2) & (top_bi_frac <= 0.18))
+        .alias("passes_repetition"),
+    )
+
+
 @_register("lang_id_heuristic", """
 WITH scores AS (
   SELECT doc_id, lang,
@@ -936,7 +1028,12 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure column algebra (arrays + higher-order functions), no UDF; at
     100 TB the fingerprints land in a (fingerprint -> docs) inverted
     index via one exchange on the fingerprint key."""
-    docs = _read(spark, sf_dir, "documents")
+    return _winnowed_fps(_read(spark, sf_dir, "documents"))
+
+
+def _winnowed_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) rows — the winnowing pipeline shared by the
+    fingerprint query and the containment matcher."""
     words = F.col("words")
     # rolling-hash array via a transform over gram start indexes
     hashes = F.transform(
@@ -961,6 +1058,92 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("hashes"), i + 4)),
     ))
     return grams.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+_WINNOW_FPS_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+             i -> {_H_SQL.format(
+                 expr="string_split(text, ' ')[i] || ' ' || "
+                      "string_split(text, ' ')[i+1] || ' ' || "
+                      "string_split(text, ' ')[i+2] || ' ' || "
+                      "string_split(text, ' ')[i+3] || ' ' || "
+                      "string_split(text, ' ')[i+4]")}) AS hashes
+  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(hashes) - 3, 0)),
+             i -> least(hashes[i], hashes[i+1], hashes[i+2], hashes[i+3])))
+           AS fps
+  FROM grams WHERE len(hashes) >= 4)
+SELECT doc_id, unnest(fps) AS fingerprint FROM winnowed
+"""
+
+
+@_register("dedup_containment", f"""
+WITH fw AS ({_WINNOW_FPS_SQL}),
+capped AS (
+  SELECT fingerprint, doc_id FROM (
+    SELECT fingerprint, doc_id,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+             AS rn
+    FROM fw) WHERE rn <= 32),
+doc_sizes AS (SELECT doc_id, cast(count(*) AS bigint) AS n_fps
+              FROM fw GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(count(*) AS bigint) AS shared_fps
+  FROM capped a JOIN capped b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 10)
+SELECT p.doc_a, p.doc_b, p.shared_fps,
+       round(cast(p.shared_fps AS double) /
+             least(sa.n_fps, sb.n_fps), 6) AS containment
+FROM pairs p
+JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style containment matching over the winnowing fingerprints:
+    pairs of documents sharing >= 10 fingerprints, scored by
+    shared / min(|fps|) — catches a short document pasted inside a long
+    one, which symmetric Jaccard dedup under-scores.
+
+    Scale shape: (fingerprint -> doc) inverted index, CAPPED at 32 docs
+    per fingerprint by a rank window (a stop-word-like hot fingerprint
+    would otherwise explode the self-join quadratically — same guard and
+    same trade-off as the LSH/ngram caps, mirrored in the oracle), then
+    a self-join keyed on the fingerprint, a pair-count aggregation, and
+    a broadcast-sized join against per-doc fingerprint counts."""
+    fps = _winnowed_fps(_read(spark, sf_dir, "documents"))
+    fp_window = Window.partitionBy("fingerprint").orderBy("doc_id")
+    capped = (fps.withColumn("rn", F.row_number().over(fp_window))
+              .where(F.col("rn") <= 32).drop("rn"))
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+    a = capped.select("fingerprint", F.col("doc_id").alias("doc_a"))
+    b = capped.select("fingerprint", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 10)
+    )
+    size_a = sizes.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n_fps").alias("n_a"))
+    size_b = sizes.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n_fps").alias("n_b"))
+    return (
+        pairs.join(size_a, "doc_a").join(size_b, "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared_fps",
+            F.round(F.col("shared_fps").cast("double")
+                    / F.least("n_a", "n_b"), 6).alias("containment"),
+        )
+    )
 
 
 @_register("dedup_simhash", f"""
