@@ -24,6 +24,7 @@ sys.path.insert(0, REPO)
 
 HEADLINE = [
     "extract_materials",      # flagship UDF pipeline (pays the UDF stage)
+    "web_extract_materials",  # web flagship: HTML strip -> extraction
     "extract_links",          # linking projection over the shared cache
     "extract_structures",     # full 5,925-pattern gazetteer rollup
     "conversation_span_stats",  # salted skew-safe rollup

@@ -1,0 +1,117 @@
+"""Web-turn extraction stage: HTML boilerplate strip + DOM heuristics,
+Spark-side (north rule: "strip HTML boilerplate ... apply DOM heuristics
+per turn").
+
+``wrap_turns_in_html`` synthesizes the web shape deterministically — each
+turn's text embedded as the main block of a realistic page skeleton (nav
+link bar, header chrome, link-dominated sidebar, footer) built from pure
+column expressions, so the corpus is reproducible at any scale with no
+RNG and no Python. ``extract_main_content`` lifts the pure block
+classifier (kernel/web.py) into one Arrow-batched pandas UDF — same
+shuffle-free per-turn shape as the material-extraction stage.
+``extract_materials_from_html`` chains strip -> material extraction; on
+the synthetic corpus the recovered main text equals the original turn
+text exactly, so its output is row-identical to the direct pipeline — the
+per-turn equality invariant, proven by a frozen-golden oracle shared with
+``extract_materials``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAIN_CONTENT_TYPE = ("main_text string, n_blocks int, kept_blocks int, "
+                     "dropped_chars int")
+
+# the deterministic page skeleton; %s receives the turn text. Chrome
+# blocks are the classic boilerplate shapes: a nav link bar, a
+# link-dominated related-pages sidebar, a cookie banner, a footer.
+_PAGE_TEMPLATE = (
+    '<html><head><title>transcript</title>'
+    '<style>body { margin: 0 }</style>'
+    '<script>var tracker = "%%PIXEL%%";</script></head>'
+    '<body>'
+    '<nav><a href="/">Home</a> <a href="/docs">Docs</a> '
+    '<a href="/about">About</a> <a href="/login">Log in</a></nav>'
+    '<header><h1>Conversation viewer</h1></header>'
+    '<div class="sidebar"><ul>'
+    '<li><a href="/c/1">Related conversation one</a></li>'
+    '<li><a href="/c/2">Related conversation two</a></li>'
+    '<li><a href="/c/3">Related conversation three</a></li>'
+    '</ul></div>'
+    '<div class="banner">Accept cookies?</div>'
+    '<article><p>%s</p></article>'
+    '<footer>Copyright notice. All rights reserved. '
+    '<a href="/tos">Terms</a></footer>'
+    '</body></html>'
+)
+
+
+def wrap_turns_in_html(turns: DataFrame) -> DataFrame:
+    """Replace ``text`` with the page-wrapped HTML (pure column expr).
+
+    Contract: the turn text must not contain ``<`` or ``&`` (the
+    synthetic transcript generator never emits them); a real web corpus
+    arrives already as HTML and skips this wrapper entirely.
+    """
+    return turns.withColumn(
+        "text", F.format_string(_PAGE_TEMPLATE, F.col("text")))
+
+
+def extract_main_content(turns: DataFrame,
+                         min_chars: int = 25,
+                         max_link_density: float = 0.33) -> DataFrame:
+    """Append a ``main`` struct: boilerplate-stripped text + block stats.
+
+    One Arrow-batched pandas UDF over the narrow text column; per-turn
+    rows are independent, so the stage is shuffle-free and scales like
+    the material-extraction UDF.
+    """
+    @F.pandas_udf(f"struct<{MAIN_CONTENT_TYPE}>")
+    def main_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from ..kernel.web import main_content
+
+        for series in batches:
+            rows = []
+            for html in series:
+                out = main_content(html, min_chars=min_chars,
+                                   max_link_density=max_link_density)
+                rows.append({
+                    "main_text": out["text"],
+                    "n_blocks": out["n_blocks"],
+                    "kept_blocks": out["kept_blocks"],
+                    "dropped_chars": out["dropped_chars"],
+                })
+            yield pd.DataFrame(
+                rows, columns=["main_text", "n_blocks", "kept_blocks",
+                               "dropped_chars"])
+
+    main_udf = main_udf.asNondeterministic()
+    return (
+        turns
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .withColumn("main", main_udf(F.col("text")))
+    )
+
+
+def extract_materials_from_html(turns_html: DataFrame,
+                                patterns=None) -> DataFrame:
+    """Full web path: strip boilerplate, then run the material-extraction
+    kernel on the recovered main text. Output schema matches
+    ``extract_ordered`` (conv_id, turn_idx, turn_rank, tokens, spans,
+    materials) so every downstream consumer is interchangeable."""
+    from .extraction import extract_ordered
+
+    stripped = (
+        extract_main_content(turns_html)
+        .select(
+            "conv_id", "turn_idx",
+            F.col("main.main_text").alias("text"),
+        )
+    )
+    return extract_ordered(stripped, patterns=patterns,
+                           include_tokens=False)

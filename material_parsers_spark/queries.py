@@ -245,6 +245,60 @@ def class_content_distribution_query(spark: SparkSession,
     return class_content_distribution(_tei_eval_corpus_df(spark))
 
 
+@_register("web_main_content")
+def web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip + DOM heuristics (north rule): each turn's
+    text wrapped in a deterministic page skeleton (nav/header/sidebar/
+    cookie banner/footer), then reduced back to main content by the
+    block classifier (kernel/web.py, Boilerpipe-style text/link-density
+    rules) inside one Arrow-batched UDF. Frozen-golden oracle; the
+    recovered main text equals the original turn text on every row
+    (proven corpus-wide by web_extract_materials sharing
+    extract_materials' golden fixture)."""
+    from .pipeline.web import extract_main_content, wrap_turns_in_html
+
+    wrapped = wrap_turns_in_html(_turns_for(spark, sf_dir))
+    return (
+        extract_main_content(wrapped)
+        .select(
+            "conv_id", "turn_idx",
+            F.col("main.main_text").alias("main_text"),
+            F.col("main.n_blocks").alias("n_blocks"),
+            F.col("main.kept_blocks").alias("kept_blocks"),
+            F.col("main.dropped_chars").alias("dropped_chars"),
+        )
+    )
+
+
+@_register("web_extract_materials")
+def web_extract_materials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web flagship (north rule end to end): HTML-wrapped turns
+    -> boilerplate strip -> material extraction. Its oracle IS
+    extract_materials' frozen golden: per-turn text equality under
+    stable turn ordering means the two paths must produce row-identical
+    material records, and the driver hash-checks exactly that."""
+    from .pipeline.web import extract_materials_from_html, wrap_turns_in_html
+
+    out = extract_materials_from_html(
+        wrap_turns_in_html(_turns_for(spark, sf_dir)))
+    material = F.explode("materials").alias("material")
+    return (
+        out.select("conv_id", "turn_idx", material)
+        .select(
+            "conv_id", "turn_idx",
+            F.col("material.formula.rawValue").alias("raw_formula"),
+            F.col("material.doping").alias("doping"),
+            F.col("material.shape").alias("shape"),
+            F.explode_outer("material.resolvedFormulas").alias("resolved"),
+        )
+        .select(
+            "conv_id", "turn_idx", "raw_formula", "doping", "shape",
+            F.col("resolved.rawValue").alias("resolved_formula"),
+            F.to_json("resolved.formulaComposition").alias("composition"),
+        )
+    )
+
+
 @_register("tagger_spans")
 def tagger_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 batched-inference seam as a query: the pluggable tagging stage
@@ -1738,11 +1792,19 @@ GOLDEN_QUERIES = (
     "extract_links",
     "conversation_span_stats",
     "tagger_spans",
+    "web_main_content",
 )
 
 def golden_path(sf_name: str, query: str) -> str:
     return os.path.join(_GOLDEN_DIR, sf_name, f"{query}.parquet")
 
-for _name in GOLDEN_QUERIES:
+# query -> which frozen fixture its oracle reads. web_extract_materials
+# reads the DIRECT flagship's golden on purpose: HTML wrap -> boilerplate
+# strip -> extraction must reproduce extract_materials row for row (the
+# north rule's per-turn text equality, hash-checked by the driver).
+GOLDEN_ORACLE_FIXTURES = {name: name for name in GOLDEN_QUERIES}
+GOLDEN_ORACLE_FIXTURES["web_extract_materials"] = "extract_materials"
+
+for _name, _fixture in GOLDEN_ORACLE_FIXTURES.items():
     ORACLE_SQL[_name] = (
-        f"SELECT * FROM read_parquet('{golden_path('sf0.01', _name)}')")
+        f"SELECT * FROM read_parquet('{golden_path('sf0.01', _fixture)}')")

@@ -16,7 +16,7 @@ PYTHON_ALLOWED = {
     "extract_materials", "extract_spans", "extract_structures",
     "extract_links", "conversation_span_stats", "tagger_spans",
     "linking_eval", "corpus_statistics", "class_content_distribution",
-    "multimodal_features",
+    "multimodal_features", "web_main_content", "web_extract_materials",
 }
 
 

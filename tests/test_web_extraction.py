@@ -1,0 +1,122 @@
+"""HTML boilerplate strip + DOM heuristics (north rule web path): kernel
+block classifier semantics, the Spark stage, and the per-turn equality
+invariant (HTML wrap -> strip -> extract == direct extract)."""
+
+import pytest
+
+from material_parsers_spark.kernel.web import (
+    html_blocks,
+    is_content_block,
+    main_content,
+    strip_tags,
+)
+from material_parsers_spark.pipeline.session import build_session
+from material_parsers_spark.pipeline.transcripts import generate_turns
+from material_parsers_spark.pipeline.web import (
+    extract_main_content,
+    extract_materials_from_html,
+    wrap_turns_in_html,
+)
+
+PAGE = (
+    '<html><head><title>t</title><style>p { color: red }</style>'
+    '<script>alert("nope")</script></head><body>'
+    '<nav><a href="/">Home</a> <a href="/x">Other</a></nav>'
+    '<div><a href="/1">link one</a> <a href="/2">link two</a> '
+    '<a href="/3">link three</a></div>'
+    '<article><p>This is the actual long-form content paragraph that '
+    'any reader came to this page for.</p></article>'
+    '<footer>All rights reserved forever and ever.</footer></body></html>'
+)
+
+
+class TestKernel:
+    def test_script_style_never_contribute_text(self):
+        texts = [b["text"] for b in html_blocks(PAGE)]
+        assert not any("alert" in t or "color" in t for t in texts)
+
+    def test_chrome_blocks_are_flagged(self):
+        blocks = {b["text"]: b for b in html_blocks(PAGE)}
+        assert blocks["Home Other"]["in_chrome"]
+        assert blocks["All rights reserved forever and ever."]["in_chrome"]
+        assert not blocks[
+            "This is the actual long-form content paragraph that any "
+            "reader came to this page for."]["in_chrome"]
+
+    def test_link_density_rule(self):
+        blocks = {b["text"]: b for b in html_blocks(PAGE)}
+        linkbar = blocks["link one link two link three"]
+        assert linkbar["link_chars"] > 0
+        assert not is_content_block(linkbar)
+
+    def test_main_content_keeps_only_the_article(self):
+        out = main_content(PAGE)
+        assert out["text"] == (
+            "This is the actual long-form content paragraph that any "
+            "reader came to this page for.")
+        assert out["kept_blocks"] == 1
+        assert out["n_blocks"] >= 4
+        assert out["dropped_chars"] > 0
+
+    def test_plain_text_passes_through(self):
+        out = main_content("short plain turn")
+        assert out == {"text": "short plain turn", "n_blocks": 1,
+                       "kept_blocks": 1, "dropped_chars": 0}
+
+    def test_entities_decoded_and_whitespace_collapsed(self):
+        out = main_content(
+            "<p>Ba&nbsp;K   doped &amp; annealed at 30&#8201;K sample "
+            "with plenty of text</p>")
+        assert "&" in out["text"] and "&amp;" not in out["text"]
+        assert "   " not in out["text"]
+
+    def test_strip_tags_baseline_keeps_everything(self):
+        assert "Home Other" in strip_tags(PAGE)
+        assert "actual long-form content" in strip_tags(PAGE)
+
+    def test_empty_and_none(self):
+        assert main_content("")["text"] == ""
+        assert main_content(None)["kept_blocks"] == 0
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return build_session(app_name="web-tests", master="local[4]",
+                         shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return generate_turns(spark, 300, partitions=4).cache()
+
+
+def test_wrap_then_strip_recovers_every_turn_text(spark, turns):
+    """The per-turn equality invariant at test scale: main content of the
+    wrapped page equals the original text on every row."""
+    from pyspark.sql import functions as F
+
+    wrapped = wrap_turns_in_html(turns)
+    recovered = extract_main_content(wrapped).select(
+        "conv_id", "turn_idx", F.col("main.main_text").alias("rec"))
+    joined = turns.select("conv_id", "turn_idx", "text") \
+        .join(recovered, ["conv_id", "turn_idx"])
+    assert joined.where(F.col("text") != F.col("rec")).count() == 0
+    stats = extract_main_content(wrapped).select("main.*").collect()
+    assert all(r.kept_blocks == 1 and r.n_blocks >= 5 and
+               r.dropped_chars > 0 for r in stats)
+
+
+def test_web_extraction_equals_direct_extraction(spark, turns):
+    """HTML wrap -> boilerplate strip -> extraction must be row-identical
+    to the direct pipeline (the invariant the shared golden oracle
+    hash-checks at sf0.01)."""
+    import json as _json
+
+    from material_parsers_spark.pipeline.extraction import extract_ordered
+
+    direct = extract_ordered(turns, include_tokens=False)
+    via_web = extract_materials_from_html(wrap_turns_in_html(turns))
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    a = sorted((r.asDict(recursive=True) for r in direct.collect()), key=key)
+    b = sorted((r.asDict(recursive=True) for r in via_web.collect()), key=key)
+    assert _json.loads(_json.dumps(a)) == _json.loads(_json.dumps(b))

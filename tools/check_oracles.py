@@ -65,12 +65,15 @@ def main():
     # driver's correctness scale); when this tool is pointed at another
     # scale with committed fixtures, swap the fixture path so the
     # comparison stays meaningful locally
-    from material_parsers_spark.queries import GOLDEN_QUERIES, golden_path
+    from material_parsers_spark.queries import (
+        GOLDEN_ORACLE_FIXTURES,
+        golden_path,
+    )
     sf_name = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     if sf_name != "sf0.01":
         import os
-        for name in GOLDEN_QUERIES:
-            swapped = golden_path(sf_name, name)
+        for name, fixture in GOLDEN_ORACLE_FIXTURES.items():
+            swapped = golden_path(sf_name, fixture)
             if name in oracles and os.path.exists(swapped):
                 oracles[name] = f"SELECT * FROM read_parquet('{swapped}')"
 
