@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_minhash_components",  # representative-edge connected components
     "dedup_containment",      # MOSS-style winnowing containment pairs
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
+    "layout_reading_order",   # PDF/layout block parse (JVM-only)
     "dedup_simhash",          # SimHash fingerprints
     "similarity_topk",        # brute-force ANN baseline
     "similarity_ann_lsh",     # multi-table sign-LSH + Hamming-1 probes

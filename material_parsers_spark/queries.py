@@ -299,6 +299,45 @@ def web_extract_materials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("layout_reading_order", """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+sized AS (SELECT doc_id, words, len(words) AS n, len(words) // 4 AS q
+          FROM base),
+parts AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, 1, q), ' ') AS l1,
+         array_to_string(list_slice(words, q + 1, 2*q), ' ') AS l2,
+         array_to_string(list_slice(words, 2*q + 1, 3*q), ' ') AS r1,
+         array_to_string(list_slice(words, 3*q + 1, n), ' ') AS r2
+  FROM sized)
+SELECT doc_id,
+       l1 || ' ' || l2 || ' ' || r1 || ' ' || r2 AS main_text,
+       cast(4 AS bigint) AS kept_blocks,
+       cast(2 AS bigint) AS dropped_blocks
+FROM parts
+""")
+def layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout text-block parsing (north rule): positioned block
+    arrays -> reading-ordered main text, entirely JVM-side
+    (pipeline/layout.py — margin filter, x-midpoint column split, one
+    array_sort over struct(page, column, y0, x0); zero UDF, zero
+    shuffle). Each document's blocks are synthesized deterministically
+    as a two-column page with running header/footer, declared in a
+    y-interleaved order so a naive top-to-bottom sort would garble the
+    columns; the oracle reconstructs the expected column-major text
+    independently from the same word slices."""
+    from .pipeline.layout import parse_layout, synthesize_layout_blocks
+
+    docs = _read(spark, sf_dir, "documents") \
+        .where(F.size(F.split("text", " ")) >= 8)
+    with_blocks = docs.select(
+        "doc_id", synthesize_layout_blocks(F.col("text")).alias("blocks"))
+    return parse_layout(with_blocks).select(
+        "doc_id", "main_text", "kept_blocks", "dropped_blocks")
+
+
 @_register("tagger_spans")
 def tagger_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 batched-inference seam as a query: the pluggable tagging stage
