@@ -120,3 +120,35 @@ def test_web_extraction_equals_direct_extraction(spark, turns):
     a = sorted((r.asDict(recursive=True) for r in direct.collect()), key=key)
     b = sorted((r.asDict(recursive=True) for r in via_web.collect()), key=key)
     assert _json.loads(_json.dumps(a)) == _json.loads(_json.dumps(b))
+
+
+class TestFastScannerDifferential:
+    """The compiled-regex scanner must produce byte-identical blocks to
+    the html.parser reference implementation."""
+
+    CASES = [
+        PAGE,
+        '<p>a &amp; b</p><div><a href="x>y">quoted gt</a> trailing text</div>',
+        '<!-- comment --><p>text</p><br/><hr/><P>UPPER</P>',
+        'no tags at all plain',
+        '<script>while(1){"<p>fake</p>"}</script><p>real content block</p>',
+        '<ul><li>one</li><li>two</li></ul><nav>chrome</nav>after',
+        '<div>unclosed <b>bold',
+        '<![CDATA[ignored]]><!DOCTYPE html><p>doc</p>',
+        '',
+    ]
+
+    def test_matches_reference_parser(self):
+        from material_parsers_spark.kernel.web import html_blocks_reference
+
+        for case in self.CASES:
+            assert html_blocks(case) == html_blocks_reference(case), case
+
+    def test_matches_reference_on_generated_pages(self):
+        from material_parsers_spark.kernel.web import html_blocks_reference
+        from material_parsers_spark.pipeline.web import _PAGE_TEMPLATE
+
+        for i in range(50):
+            page = _PAGE_TEMPLATE.replace("%%", "%").replace(
+                "%s", f"The material MgB {i} superconducts at {i % 90}K.")
+            assert html_blocks(page) == html_blocks_reference(page)
