@@ -124,25 +124,33 @@ def html_blocks_reference(html: str) -> List[dict]:
 
 
 _TAG_RE = re.compile(
-    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<!DOCTYPE[^>]*>|"
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>",
+    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|(?i:<!DOCTYPE[^>]*>)|<\?.*?\?>|"
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
     re.S)
+
+# elements html.parser puts into CDATA mode: their raw content — however
+# tag-like — is opaque until the matching close tag of the SAME element
+_CDATA_TAGS = {"script", "style"}
 
 
 def html_blocks(html: str) -> List[dict]:
     """Fast block segmentation: one compiled-regex scan over the markup
     with the same skip/chrome/link/block state machine as the reference
-    parser — ~4x faster per page because tag dispatch is a single
-    finditer instead of per-callback Python. Attribute values are
-    quote-aware, so '>' inside quoted attributes does not end a tag;
-    entity decoding matches html.parser's convert_charrefs (unescape per
-    text segment)."""
+    parser — ~3x faster per page because tag dispatch is a single
+    finditer instead of per-callback Python. Faithful to html.parser's
+    semantics: attribute values are quote-aware ('>' inside quotes does
+    not end a tag), script/style content is CDATA (tag-like strings
+    inside JS/CSS never mutate parser state), self-closing tags act as
+    start+end, doctype (any case), comments, and processing
+    instructions are discarded, and entities decode like
+    convert_charrefs (unescape per text segment)."""
     blocks: List[dict] = []
     parts: List[str] = []
     state = {"link_chars": 0, "in_chrome": False}
     skip_depth = 0
     link_depth = 0
     chrome_depth = 0
+    cdata_tag: str | None = None
 
     def flush() -> None:
         text = _WS.sub(" ", "".join(parts)).strip()
@@ -158,7 +166,7 @@ def html_blocks(html: str) -> List[dict]:
         state["in_chrome"] = chrome_depth > 0
 
     def text_segment(raw: str) -> None:
-        if skip_depth or not raw:
+        if skip_depth or cdata_tag or not raw:
             return
         if chrome_depth:
             state["in_chrome"] = True
@@ -168,30 +176,63 @@ def html_blocks(html: str) -> List[dict]:
             if link_depth:
                 state["link_chars"] += len(collapsed.strip())
 
-    pos = 0
-    for match in _TAG_RE.finditer(html):
-        text_segment(html[pos:match.start()])
-        pos = match.end()
-        tag = match.group(2)
-        if tag is None:
-            continue  # comment / CDATA / doctype
-        tag = tag.lower()
-        closing = match.group(1) == "/"
+    def start_tag(tag: str) -> None:
+        nonlocal skip_depth, link_depth, chrome_depth, cdata_tag
         if tag in _SKIP_SUBTREE:
-            skip_depth = max(skip_depth - 1, 0) if closing \
-                else skip_depth + 1
-            continue
+            if tag in _CDATA_TAGS:
+                cdata_tag = tag
+            else:
+                skip_depth += 1
+            return
         if tag == "a":
-            link_depth = max(link_depth - 1, 0) if closing \
-                else link_depth + 1
-        if tag in _CHROME_TAGS and not closing:
+            link_depth += 1
+        if tag in _CHROME_TAGS:
             chrome_depth += 1
         if tag in _BLOCK_TAGS:
             flush()
-        if tag in _CHROME_TAGS and closing:
+
+    def end_tag(tag: str) -> None:
+        nonlocal skip_depth, link_depth, chrome_depth, cdata_tag
+        if tag in _SKIP_SUBTREE:
+            if tag in _CDATA_TAGS:
+                cdata_tag = None  # closes the self-closing start above
+            else:
+                skip_depth = max(skip_depth - 1, 0)
+            return
+        if tag == "a":
+            link_depth = max(link_depth - 1, 0)
+        if tag in _BLOCK_TAGS:
+            flush()
+        if tag in _CHROME_TAGS:
             chrome_depth = max(chrome_depth - 1, 0)
             state["in_chrome"] = chrome_depth > 0
-    text_segment(html[pos:])
+
+    pos = 0
+    for match in _TAG_RE.finditer(html):
+        tag = match.group(2)
+        closing = match.group(1) == "/"
+        if cdata_tag is not None:
+            # opaque until the matching close tag of the SAME element
+            # (html.parser's CDATA mode) — everything else is content
+            if tag is not None and closing and tag.lower() == cdata_tag:
+                cdata_tag = None
+                pos = match.end()
+            continue
+        text_segment(html[pos:match.start()])
+        pos = match.end()
+        if tag is None:
+            continue  # comment / CDATA section / doctype / PI
+        tag = tag.lower()
+        if closing:
+            end_tag(tag)
+        elif (match.group(3) or "").rstrip().endswith("/"):
+            # self-closing: html.parser fires start then end
+            start_tag(tag)
+            end_tag(tag)
+        else:
+            start_tag(tag)
+    if cdata_tag is None:
+        text_segment(html[pos:])
     flush()
     return blocks
 
@@ -214,11 +255,14 @@ def main_content(html: Optional[str],
                  max_link_density: float = MAX_LINK_DENSITY) -> dict:
     """Strip boilerplate from one HTML fragment.
 
-    Returns ``{text, n_blocks, kept_blocks, dropped_chars}``. Plain text
-    input (no markup) passes through whole: the block filter only runs
-    when the fragment actually parses into multiple structured blocks, so
-    feeding non-HTML turns through the stage is a no-op wrapper, not a
-    truncation hazard.
+    Returns ``{text, n_blocks, kept_blocks, dropped_chars}``. The
+    boilerplate filter only applies when the fragment parses into
+    MULTIPLE blocks — with a single block there is no boilerplate
+    decision to make, so plain text and trivial one-block fragments
+    (``<p>NaCl</p>``, ``x < y``) pass through whole however short. In a
+    multi-block page, a main block below ``min_chars`` IS dropped like
+    any other short block — that is the classifier working as designed,
+    not a pass-through guarantee.
     """
     if not html:
         return {"text": "", "n_blocks": 0, "kept_blocks": 0,
@@ -228,8 +272,11 @@ def main_content(html: Optional[str],
         return {"text": text, "n_blocks": 1, "kept_blocks": 1,
                 "dropped_chars": 0}
     blocks = html_blocks(html)
-    kept = [b for b in blocks
-            if is_content_block(b, min_chars, max_link_density)]
+    if len(blocks) == 1:
+        kept = blocks
+    else:
+        kept = [b for b in blocks
+                if is_content_block(b, min_chars, max_link_density)]
     dropped = sum(b["n_chars"] for b in blocks) - \
         sum(b["n_chars"] for b in kept)
     return {

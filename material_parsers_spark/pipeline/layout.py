@@ -4,7 +4,9 @@ blocks per turn").
 The layout model is the standard PDF-extraction shape: a document is an
 array of positioned text blocks ``(page, x0, y0, text)`` (what pdfminer/
 MuPDF emit after decoding — the decode itself is a codec concern, like
-the multimodal stubs). This module turns that block array into
+the multimodal stubs; NOTE the two emit different y conventions:
+MuPDF/fitz top-left origin vs pdfminer bottom-left — declare which via
+``y_origin``). This module turns that block array into
 reading-ordered main text ENTIRELY JVM-side: margin blocks (running
 headers/footers) are dropped by y-position, blocks are assigned to
 columns by x-midpoint, and ordering is one ``array_sort`` over
@@ -33,17 +35,33 @@ def reading_order_text(blocks: Column,
                        page_width: float = PAGE_WIDTH,
                        page_height: float = PAGE_HEIGHT,
                        header_margin: float = HEADER_MARGIN,
-                       footer_margin: float = FOOTER_MARGIN) -> Column:
+                       footer_margin: float = FOOTER_MARGIN,
+                       y_origin: str = "top") -> Column:
     """Column expression: block array -> (main_text, kept, dropped).
 
     Reading order = page, then column (x-midpoint split), then top-to-
     bottom, then left-to-right — the two-column academic-paper layout
     rule. Margin blocks are dropped before ordering.
+
+    ``y_origin`` declares the coordinate convention of the decoder that
+    produced the blocks: ``"top"`` (y grows downward — MuPDF/fitz,
+    browsers, this module's synthetic generator) or ``"bottom"`` (y
+    grows upward from the page bottom — pdfminer/PDF user space). With
+    ``"bottom"`` the y axis is flipped once up front so margin
+    classification and top-to-bottom ordering are correct for raw
+    pdfminer output instead of silently reversed.
     """
+    if y_origin not in ("top", "bottom"):
+        raise ValueError(f"y_origin must be 'top' or 'bottom': {y_origin!r}")
+
+    def y_down(b):
+        y = b.getField("y0")
+        return F.lit(page_height) - y if y_origin == "bottom" else y
+
     body = F.filter(
         blocks,
-        lambda b: (b.getField("y0") > page_height * header_margin)
-        & (b.getField("y0") < page_height * footer_margin),
+        lambda b: (y_down(b) > page_height * header_margin)
+        & (y_down(b) < page_height * footer_margin),
     )
     keyed = F.transform(
         body,
@@ -51,7 +69,7 @@ def reading_order_text(blocks: Column,
             b.getField("page").alias("page"),
             F.when(b.getField("x0") >= page_width / 2, 1).otherwise(0)
             .alias("column"),
-            b.getField("y0").alias("y0"),
+            y_down(b).alias("y0"),
             b.getField("x0").alias("x0"),
             b.getField("text").alias("text"),
         ),

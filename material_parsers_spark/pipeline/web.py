@@ -62,15 +62,24 @@ def wrap_turns_in_html(turns: DataFrame) -> DataFrame:
         "text", F.format_string(_PAGE_TEMPLATE, F.col("text")))
 
 
-def extract_main_content(turns: DataFrame,
-                         min_chars: int = 25,
-                         max_link_density: float = 0.33) -> DataFrame:
+def extract_main_content(
+        turns: DataFrame,
+        min_chars: int = None,
+        max_link_density: float = None) -> DataFrame:
     """Append a ``main`` struct: boilerplate-stripped text + block stats.
 
     One Arrow-batched pandas UDF over the narrow text column; per-turn
     rows are independent, so the stage is shuffle-free and scales like
-    the material-extraction UDF.
+    the material-extraction UDF. Threshold defaults come from the kernel
+    (the single source of truth for the keep rule).
     """
+    from ..kernel.web import MAX_LINK_DENSITY, MIN_BLOCK_CHARS
+
+    if min_chars is None:
+        min_chars = MIN_BLOCK_CHARS
+    if max_link_density is None:
+        max_link_density = MAX_LINK_DENSITY
+
     @F.pandas_udf(f"struct<{MAIN_CONTENT_TYPE}>")
     def main_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         from ..kernel.web import main_content

@@ -688,10 +688,17 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id").agg(F.max("count").cast("long").alias("top_uni"))
     )
     words = F.col("words")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                              F.element_at(words, i + 2)))
+    # guard the 1-word case: sequence(0, -1) in Spark yields the
+    # DESCENDING array [0, -1] (auto step -1), so the transform would
+    # index element_at(words, 0) and throw — emit an empty bigram array
+    # instead, matching the oracle's empty generate_series(1, 0)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                  F.element_at(words, i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
     bi = (
         base.select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g").count()

@@ -119,3 +119,24 @@ def test_minhash_components_cover_the_full_cluster(spark, stress_dir):
         ORACLE_SQL["dedup_minhash_components"], stress_dir)
     assert value_hash([tuple(r) for r in rows], df.columns) == \
         value_hash(expected, columns)
+
+
+def test_gopher_rules_survive_one_word_documents(spark, tmp_path_factory):
+    """A 1-word document must yield top_bigram_frac = 0, not a Spark
+    array-index crash (sequence(0,-1) is DESCENDING in Spark)."""
+    base = tmp_path_factory.mktemp("oneword")
+    df = spark.createDataFrame(
+        [(1, "hello", "en", 5), (2, "two words here now ok", "en", 21)],
+        "doc_id bigint, text string, lang string, n_chars bigint")
+    df.write.mode("overwrite").parquet(str(base / "documents.parquet"))
+    rows = {r.doc_id: r for r in
+            SPARK_QUERIES["quality_gopher_rules"](spark, str(base)).collect()}
+    assert rows[1].top_bigram_frac == 0.0
+    assert rows[1].n_words == 1
+    assert rows[2].top_bigram_frac > 0
+
+    expected, columns = _oracle_rows(
+        ORACLE_SQL["quality_gopher_rules"], str(base))
+    got = [tuple(r) for r in rows.values()]
+    assert value_hash(got, list(rows[1].asDict().keys())) == \
+        value_hash(expected, columns)

@@ -78,3 +78,22 @@ def test_plan_is_pure_projection(spark):
     plan = parse_layout(df)._jdf.queryExecution().executedPlan().toString()
     for node in ("Exchange", "ArrowEvalPython", "BatchEvalPython"):
         assert node not in plan
+
+
+def test_bottom_origin_flips_margins_and_order(spark):
+    """pdfminer-convention blocks (y grows upward): the header sits at
+    y0 near page_height and body order is top-of-page-first only after
+    the flip."""
+    from pyspark.sql import functions as F
+    from material_parsers_spark.pipeline.layout import reading_order_text
+
+    blocks = [(1, 50.0, 770.0, "HEADER"),      # top of page, y near max
+              (1, 50.0, 600.0, "first"),       # higher on page
+              (1, 50.0, 200.0, "second"),      # lower on page
+              (1, 50.0, 20.0, "FOOTER")]
+    df = spark.createDataFrame([(1, blocks)], BLOCK_SCHEMA)
+    row = df.select(
+        reading_order_text(F.col("blocks"), y_origin="bottom")
+        .alias("p")).select("p.*").collect()[0]
+    assert row.main_text == "first second"
+    assert row.dropped_blocks == 2

@@ -152,3 +152,41 @@ class TestFastScannerDifferential:
             page = _PAGE_TEMPLATE.replace("%%", "%").replace(
                 "%s", f"The material MgB {i} superconducts at {i % 90}K.")
             assert html_blocks(page) == html_blocks_reference(page)
+
+
+class TestScannerFidelity:
+    """Regression pins for the html.parser-fidelity fixes: self-closing
+    skip tags, CDATA content, lowercase doctype, PIs, and the
+    single-block pass-through."""
+
+    def test_self_closing_script_does_not_swallow_page(self):
+        from material_parsers_spark.kernel.web import html_blocks_reference
+        page = '<script src="x.js"/><p>real content block stays here ok</p>'
+        assert html_blocks(page) == html_blocks_reference(page)
+        assert main_content(page)["text"] == \
+            "real content block stays here ok"
+
+    def test_tag_like_strings_inside_script_are_opaque(self):
+        from material_parsers_spark.kernel.web import html_blocks_reference
+        page = ('<script>var s = "<a href=/x>"; t = "<nav>";</script>'
+                '<p>real content paragraph long enough to keep here</p>')
+        assert html_blocks(page) == html_blocks_reference(page)
+        out = main_content(page)
+        assert out["text"] == \
+            "real content paragraph long enough to keep here"
+
+    def test_lowercase_doctype_and_pi_are_discarded(self):
+        from material_parsers_spark.kernel.web import html_blocks_reference
+        page = ('<?xml version="1.0"?><!doctype html>'
+                '<p>the document body text block is right here</p>')
+        assert html_blocks(page) == html_blocks_reference(page)
+        assert "doctype" not in main_content(page)["text"]
+
+    def test_single_block_fragments_pass_through_however_short(self):
+        assert main_content("<p>NaCl</p>")["text"] == "NaCl"
+        assert main_content("x < y")["text"] == "x < y"
+
+    def test_unclosed_script_suppresses_tail(self):
+        from material_parsers_spark.kernel.web import html_blocks_reference
+        page = '<p>kept text block before the break</p><script>tail'
+        assert html_blocks(page) == html_blocks_reference(page)
