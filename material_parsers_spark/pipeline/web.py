@@ -108,19 +108,80 @@ def extract_main_content(
 
 
 def extract_materials_from_html(turns_html: DataFrame,
-                                patterns=None) -> DataFrame:
+                                patterns=None,
+                                fused: bool = True) -> DataFrame:
     """Full web path: strip boilerplate, then run the material-extraction
     kernel on the recovered main text. Output schema matches
     ``extract_ordered`` (conv_id, turn_idx, turn_rank, tokens, spans,
-    materials) so every downstream consumer is interchangeable."""
+    materials) so every downstream consumer is interchangeable.
+
+    ``fused=True`` (default) runs strip + extraction inside ONE
+    Arrow-batched UDF — each turn's text crosses the JVM/Python boundary
+    once instead of twice (strip out, text back in, extraction out),
+    which matters because Arrow serialization is the dominant fixed cost
+    of the hot path. ``fused=False`` keeps the two stages composable
+    (e.g. to materialize stripped text for other consumers); both
+    variants are row-identical (parity-tested, and the registered query
+    hash-matches the direct pipeline's golden either way)."""
     from .extraction import extract_ordered
 
-    stripped = (
-        extract_main_content(turns_html)
+    if not fused:
+        stripped = (
+            extract_main_content(turns_html)
+            .select(
+                "conv_id", "turn_idx",
+                F.col("main.main_text").alias("text"),
+            )
+        )
+        return extract_ordered(stripped, patterns=patterns,
+                               include_tokens=False)
+
+    from pyspark.sql import types as T
+
+    from .extraction import load_full_patterns
+    from .schemas import EXTRACTION_TYPE
+
+    spark = turns_html.sparkSession
+    pattern_list = patterns if patterns is not None else load_full_patterns()
+    broadcast_patterns = spark.sparkContext.broadcast(pattern_list)
+    out_type = T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("extraction", EXTRACTION_TYPE),
+    ])
+
+    @F.pandas_udf(out_type)
+    def fused_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from ..kernel.gazetteer import TokenTrieMatcher as _Matcher
+        from ..kernel.turns import extract_turn as _extract
+        from ..kernel.web import main_content as _main
+
+        matcher = _Matcher(broadcast_patterns.value)
+        for series in batches:
+            rows = []
+            for html in series:
+                text = _main(html)["text"]
+                rows.append({
+                    "text": text,
+                    "extraction": _extract(text, matcher,
+                                           include_tokens=False),
+                })
+            yield pd.DataFrame(rows, columns=["text", "extraction"])
+
+    fused_udf = fused_udf.asNondeterministic()
+    # mirror extract_ordered's contract exactly: empty main text is
+    # filtered out (the unfused path's where-clause), dense turn_idx
+    # yields turn_rank as a column expression — still zero shuffles
+    return (
+        turns_html
+        .select("conv_id", "turn_idx", "text")
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .withColumn("out", fused_udf(F.col("text")))
+        .where(F.length("out.text") > 0)
         .select(
             "conv_id", "turn_idx",
-            F.col("main.main_text").alias("text"),
+            (F.col("turn_idx") + F.lit(1)).cast("int").alias("turn_rank"),
+            F.col("out.extraction.tokens").alias("tokens"),
+            F.col("out.extraction.spans").alias("spans"),
+            F.col("out.extraction.materials").alias("materials"),
         )
     )
-    return extract_ordered(stripped, patterns=patterns,
-                           include_tokens=False)
