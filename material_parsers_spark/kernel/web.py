@@ -124,8 +124,16 @@ def html_blocks_reference(html: str) -> List[dict]:
 
 
 _TAG_RE = re.compile(
-    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|(?i:<!DOCTYPE[^>]*>)|<\?.*?\?>|"
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
+    # real tags first; then html.parser's lenient markup forms: comments,
+    # CDATA sections, declarations (<!doctype and any <!...> bogus
+    # declaration), processing instructions (html.parser ends a PI at the
+    # FIRST '>', not '?>'), and bogus end-tags ('</' + junk, consumed to
+    # the next '>', e.g. "</ x>" or "</>")
+    # tag NAMES mirror html.parser's tagfind_tolerant: a letter then any
+    # run of non-space/non-slash/non-'>' chars — junk like "a&a;=?p" is
+    # one (unknown, inert) tag name there, not an <a> with attributes
+    r"<(/?)([a-zA-Z][^\t\n\r\f />]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>|"
+    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>|<\?[^>]*>|</[^>]*>",
     re.S)
 
 # elements html.parser puts into CDATA mode: their raw content — however
@@ -141,9 +149,18 @@ def html_blocks(html: str) -> List[dict]:
     semantics: attribute values are quote-aware ('>' inside quotes does
     not end a tag), script/style content is CDATA (tag-like strings
     inside JS/CSS never mutate parser state), self-closing tags act as
-    start+end, doctype (any case), comments, and processing
-    instructions are discarded, and entities decode like
-    convert_charrefs (unescape per text segment)."""
+    start+end, junk-punctuation tag names match tagfind_tolerant,
+    declarations/PIs/bogus end-tags are consumed leniently, and entities
+    decode like convert_charrefs (unescape per text segment).
+
+    Fidelity boundary (pinned by fixtures + a structured-markup fuzz in
+    tests/test_web_extraction.py): byte-identical to
+    ``html_blocks_reference`` on well-formed and common-malformed
+    markup. Pathological soup — unterminated quoted attributes at EOF
+    and similar constructs where html.parser's recovery discards
+    trailing input — may segment differently; use
+    ``html_blocks_reference`` when adversarial byte-exactness against
+    html.parser matters more than throughput."""
     blocks: List[dict] = []
     parts: List[str] = []
     state = {"link_chars": 0, "in_chrome": False}

@@ -202,3 +202,33 @@ def test_fused_and_staged_web_paths_are_row_identical(spark, turns):
     a = sorted((r.asDict(recursive=True) for r in fused.collect()), key=key)
     b = sorted((r.asDict(recursive=True) for r in staged.collect()), key=key)
     assert _json.loads(_json.dumps(a)) == _json.loads(_json.dumps(b))
+
+
+def test_fast_scanner_fuzz_differential_structured_markup():
+    """Property pin of the fidelity boundary: on structured tag soup
+    (valid and common-malformed constructs, balanced quotes) the fast
+    scanner is byte-identical to html.parser. Derandomized so CI is
+    stable; the EOF-recovery pathologies outside this generator are the
+    documented divergence boundary."""
+    from hypothesis import given, settings, strategies as st
+
+    from material_parsers_spark.kernel.web import html_blocks_reference
+
+    pieces = st.sampled_from([
+        "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>",
+        "<nav>", "</nav>", "<script>", "</script>", "<style>", "</style>",
+        "<br/>", "<li>", "</li>", "<b>", "</b>", "<footer>", "</footer>",
+        "<head>", "</head>", "<ul>", "</ul>", "text one", "&amp;",
+        "two &lt; three", " ", "words here and there", "<!-- c -->",
+        "<!doctype html>", "<?pi content>", "</>", "</ junk>",
+        "<a&junk;=?p>", "<script/>", "<img src=x/>", "<P CLASS='y'>",
+        "var s = \"<a href=/x>\";",
+    ])
+    fragment = st.lists(pieces, min_size=0, max_size=25).map("".join)
+
+    @given(fragment)
+    @settings(max_examples=400, deadline=None, derandomize=True)
+    def check(html):
+        assert html_blocks(html) == html_blocks_reference(html), html
+
+    check()
