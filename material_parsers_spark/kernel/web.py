@@ -129,12 +129,26 @@ _TAG_RE = re.compile(
     # declaration), processing instructions (html.parser ends a PI at the
     # FIRST '>', not '?>'), and bogus end-tags ('</' + junk, consumed to
     # the next '>', e.g. "</ x>" or "</>")
-    # tag NAMES mirror html.parser's tagfind_tolerant: a letter then any
-    # run of non-space/non-slash/non-'>' chars — junk like "a&a;=?p" is
-    # one (unknown, inert) tag name there, not an <a> with attributes
-    r"<(/?)([a-zA-Z][^\t\n\r\f />]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>|"
+    # START tag names mirror html.parser's tagfind_tolerant: a letter
+    # then any run of non-space/non-slash/non-'>' chars — junk like
+    # "a&a;=?p" is one (unknown, inert) tag name there, not an <a> with
+    # attributes. END tags additionally allow html.parser's endtagfind
+    # form (whitespace around the name: "</ div >") and the tolerant
+    # form (junk after the name: "</div junk>") — both DISPATCH as end
+    # tags there, they are not discarded. '</' + non-letter junk is a
+    # silently-consumed bogus end-tag.
+    r"<([a-zA-Z][^\t\n\r\f />]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>|"
+    r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>|"
+    r"</([a-zA-Z][^\t\n\r\f />]*)[^>]*>|"
     r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>|<\?[^>]*>|</[^>]*>",
     re.S)
+
+# html.parser marks a start tag self-closing only when the leftover
+# after attribute parsing is exactly '/>': an unquoted attribute value
+# greedily absorbs a trailing '/' (<a href=/docs/> is NOT self-closing),
+# so the '/' only survives at the start, after whitespace, or after a
+# closing quote
+_SELF_CLOSING_RE = re.compile(r"(?:^|[\s\"'])/$")
 
 # elements html.parser puts into CDATA mode: their raw content — however
 # tag-like — is opaque until the matching close tag of the SAME element
@@ -212,7 +226,13 @@ def html_blocks(html: str) -> List[dict]:
         nonlocal skip_depth, link_depth, chrome_depth, cdata_tag
         if tag in _SKIP_SUBTREE:
             if tag in _CDATA_TAGS:
-                cdata_tag = None  # closes the self-closing start above
+                if cdata_tag:
+                    cdata_tag = None  # closes a self-closing start
+                else:
+                    # STRAY close outside CDATA: the reference's
+                    # handle_endtag decrements the shared skip depth
+                    # (possibly popping an enclosing head/svg level)
+                    skip_depth = max(skip_depth - 1, 0)
             else:
                 skip_depth = max(skip_depth - 1, 0)
             return
@@ -226,28 +246,28 @@ def html_blocks(html: str) -> List[dict]:
 
     pos = 0
     for match in _TAG_RE.finditer(html):
-        tag = match.group(2)
-        closing = match.group(1) == "/"
+        start_name, attrs, end_name, end_name_tol = match.group(1, 2, 3, 4)
+        end = end_name or end_name_tol
         if cdata_tag is not None:
             # opaque until the matching close tag of the SAME element
             # (html.parser's CDATA mode) — everything else is content
-            if tag is not None and closing and tag.lower() == cdata_tag:
+            if end is not None and end.lower() == cdata_tag:
                 cdata_tag = None
                 pos = match.end()
             continue
         text_segment(html[pos:match.start()])
         pos = match.end()
-        if tag is None:
-            continue  # comment / CDATA section / doctype / PI
-        tag = tag.lower()
-        if closing:
-            end_tag(tag)
-        elif (match.group(3) or "").rstrip().endswith("/"):
-            # self-closing: html.parser fires start then end
-            start_tag(tag)
-            end_tag(tag)
-        else:
-            start_tag(tag)
+        if start_name is not None:
+            tag = start_name.lower()
+            if _SELF_CLOSING_RE.search(attrs or ""):
+                # self-closing: html.parser fires start then end
+                start_tag(tag)
+                end_tag(tag)
+            else:
+                start_tag(tag)
+        elif end is not None:
+            end_tag(end.lower())
+        # else: comment / CDATA section / declaration / PI / bogus end
     if cdata_tag is None:
         text_segment(html[pos:])
     flush()
@@ -273,13 +293,15 @@ def main_content(html: Optional[str],
     """Strip boilerplate from one HTML fragment.
 
     Returns ``{text, n_blocks, kept_blocks, dropped_chars}``. The
-    boilerplate filter only applies when the fragment parses into
-    MULTIPLE blocks — with a single block there is no boilerplate
-    decision to make, so plain text and trivial one-block fragments
-    (``<p>NaCl</p>``, ``x < y``) pass through whole however short. In a
-    multi-block page, a main block below ``min_chars`` IS dropped like
-    any other short block — that is the classifier working as designed,
-    not a pass-through guarantee.
+    LENGTH/LINK-DENSITY filter only applies when the fragment parses
+    into MULTIPLE blocks — those signals are relative judgments that
+    mean nothing with a single block, so plain text and trivial
+    one-block fragments (``<p>NaCl</p>``, ``x < y``) pass through whole
+    however short. Chrome membership needs no cross-block comparison,
+    so a fragment that is ENTIRELY nav/footer chrome is still dropped
+    even as a single block. In a multi-block page, a main block below
+    ``min_chars`` IS dropped like any other short block — that is the
+    classifier working as designed, not a pass-through guarantee.
     """
     if not html:
         return {"text": "", "n_blocks": 0, "kept_blocks": 0,
@@ -290,7 +312,7 @@ def main_content(html: Optional[str],
                 "dropped_chars": 0}
     blocks = html_blocks(html)
     if len(blocks) == 1:
-        kept = blocks
+        kept = [b for b in blocks if not b["in_chrome"]]
     else:
         kept = [b for b in blocks
                 if is_content_block(b, min_chars, max_link_density)]

@@ -144,8 +144,12 @@ def extract_materials_from_html(turns_html: DataFrame,
     spark = turns_html.sparkSession
     pattern_list = patterns if patterns is not None else load_full_patterns()
     broadcast_patterns = spark.sparkContext.broadcast(pattern_list)
+    # the stripped text itself never crosses back to the JVM — only its
+    # length (for the empty-row filter) and the extraction payload do;
+    # shipping the full main text just to length-test it would re-add
+    # the Arrow payload the fusion exists to eliminate
     out_type = T.StructType([
-        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
         T.StructField("extraction", EXTRACTION_TYPE),
     ])
 
@@ -161,11 +165,11 @@ def extract_materials_from_html(turns_html: DataFrame,
             for html in series:
                 text = _main(html)["text"]
                 rows.append({
-                    "text": text,
+                    "n_chars": len(text),
                     "extraction": _extract(text, matcher,
                                            include_tokens=False),
                 })
-            yield pd.DataFrame(rows, columns=["text", "extraction"])
+            yield pd.DataFrame(rows, columns=["n_chars", "extraction"])
 
     fused_udf = fused_udf.asNondeterministic()
     # mirror extract_ordered's contract exactly: empty main text is
@@ -176,7 +180,7 @@ def extract_materials_from_html(turns_html: DataFrame,
         .select("conv_id", "turn_idx", "text")
         .where(F.col("text").isNotNull() & (F.length("text") > 0))
         .withColumn("out", fused_udf(F.col("text")))
-        .where(F.length("out.text") > 0)
+        .where(F.col("out.n_chars") > 0)
         .select(
             "conv_id", "turn_idx",
             (F.col("turn_idx") + F.lit(1)).cast("int").alias("turn_rank"),

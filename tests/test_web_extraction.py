@@ -222,7 +222,8 @@ def test_fast_scanner_fuzz_differential_structured_markup():
         "two &lt; three", " ", "words here and there", "<!-- c -->",
         "<!doctype html>", "<?pi content>", "</>", "</ junk>",
         "<a&junk;=?p>", "<script/>", "<img src=x/>", "<P CLASS='y'>",
-        "var s = \"<a href=/x>\";",
+        "var s = \"<a href=/x>\";", "</ script>", "</ a>", "</ div>",
+        "<a href=/docs/>", "</div junk>", "<nav id=x/>",
     ])
     fragment = st.lists(pieces, min_size=0, max_size=25).map("".join)
 
@@ -232,3 +233,47 @@ def test_fast_scanner_fuzz_differential_structured_markup():
         assert html_blocks(html) == html_blocks_reference(html), html
 
     check()
+
+
+class TestScannerFidelityRound2:
+    """Pins for the second fidelity batch: whitespace end tags, unquoted
+    trailing-slash attributes, stray CDATA closes, chrome single-block."""
+
+    def test_whitespace_end_tags_dispatch(self):
+        from material_parsers_spark.kernel.web import html_blocks_reference
+        cases = [
+            '<script>var x = 1;</ script>visible after the space close'
+            '<p>paragraph text long enough</p>',
+            "<a href='/x'>link text</ a>rest of the line here",
+            'a</ div>b',
+            '<div>one</div junk>two<p>three</p>',
+        ]
+        for case in cases:
+            assert html_blocks(case) == html_blocks_reference(case), case
+
+    def test_unquoted_trailing_slash_is_not_self_closing(self):
+        from material_parsers_spark.kernel.web import html_blocks_reference
+        cases = [
+            '<a href=/docs/>Docs link text here</a> trailing words',
+            '<nav id=x/>chrome text</nav>after',
+            '<a href="/x"/>not a link anymore, slash after quote</a>',
+            '<br/>line<hr />rule',
+        ]
+        for case in cases:
+            assert html_blocks(case) == html_blocks_reference(case), case
+
+    def test_stray_cdata_close_pops_skip_level(self):
+        from material_parsers_spark.kernel.web import html_blocks_reference
+        cases = [
+            '<head><title>t</title></script>after stray close</head>'
+            '<p>body text</p>',
+            '<noscript>hidden</script>leaked text</noscript>visible',
+        ]
+        for case in cases:
+            assert html_blocks(case) == html_blocks_reference(case), case
+
+    def test_single_chrome_block_is_still_dropped(self):
+        out = main_content('<nav><a href="/">Home</a> '
+                           '<a href="/docs">Docs</a></nav>')
+        assert out["text"] == ""
+        assert out["kept_blocks"] == 0 and out["n_blocks"] == 1
