@@ -46,6 +46,17 @@ def main(argv=None) -> int:
     stream.add_argument("--checkpoint", required=True)
     stream.add_argument("--master", default=None)
 
+    web = sub.add_parser(
+        "web", help="HTML turns -> boilerplate strip -> material "
+                    "extraction (pipeline/web.py)")
+    web.add_argument("--input", help="turns parquet dir whose text "
+                                     "column holds HTML fragments")
+    web.add_argument("--generate", type=int, default=0,
+                     help="generate N synthetic turns wrapped in the "
+                          "deterministic page skeleton")
+    web.add_argument("--output", required=True)
+    web.add_argument("--master", default=None)
+
     tag = sub.add_parser(
         "tag", help="batched tagging stage only (pipeline/inference.py); "
                     "swap the payload in code for a trained model")
@@ -82,6 +93,24 @@ def main(argv=None) -> int:
         from .streaming.turn_stream import run_stream_once
         run_stream_once(spark, args.input, args.output, args.checkpoint)
         print(json.dumps({"status": "drained", "output": args.output}))
+        return 0
+
+    if args.command == "web":
+        from .pipeline.transcripts import generate_turns
+        from .pipeline.web import (
+            extract_materials_from_html,
+            wrap_turns_in_html,
+        )
+
+        if args.generate:
+            turns = wrap_turns_in_html(generate_turns(spark, args.generate))
+        elif args.input:
+            turns = spark.read.parquet(args.input)
+        else:
+            parser.error("provide --input or --generate")
+        extract_materials_from_html(turns).write.mode("overwrite") \
+            .parquet(args.output)
+        print(json.dumps({"status": "extracted", "output": args.output}))
         return 0
 
     if args.command == "tag":
