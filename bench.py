@@ -124,6 +124,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # a BENCH_ONLY subset may exclude both flagship jobs; still emit the
     # JSON line (turns/s is a flagship metric, null without one)
     turns_per_sec = round(n_turns / flagship, 1) if flagship else None
+    # host-normalized: what this flagship would deliver at an unthrottled
+    # per-core ceiling of 1.0 — the cross-round comparable number (raw is
+    # the truth for THIS run; normalized factors the shared-VM state out)
+    normalized = (round(turns_per_sec / host["per_core_ceiling"], 1)
+                  if turns_per_sec else None)
 
     return {
         "metric": "headline_suite_total",
@@ -135,6 +140,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "turns_per_sec": turns_per_sec,
+        "turns_per_sec_host_normalized": normalized,
     }
 
 
