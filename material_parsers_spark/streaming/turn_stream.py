@@ -36,6 +36,17 @@ def streaming_extraction(turns: DataFrame,
     return run_extraction(turns, patterns=patterns)
 
 
+def streaming_web_extraction(turns_html: DataFrame,
+                             patterns: Optional[list] = None) -> DataFrame:
+    """The web flagship on a stream: fused HTML-strip + extraction
+    (pipeline/web.py) over continuously arriving HTML turns — pandas
+    UDFs are streaming-safe, so the exact batch operator runs unchanged
+    under a streaming plan (same output schema as
+    ``extract_materials_from_html``)."""
+    from ..pipeline.web import extract_materials_from_html
+    return extract_materials_from_html(turns_html, patterns=patterns)
+
+
 def windowed_span_counts(extracted: DataFrame,
                          window_duration: str = "10 minutes",
                          watermark: str = "30 minutes") -> DataFrame:

@@ -118,3 +118,44 @@ def test_stateful_conversation_counters_accumulate(spark, tmp_path):
     for conv_id, row in latest.items():
         assert row.n_turns == expected[conv_id]["n_turns"], conv_id
         assert row.n_chars == expected[conv_id]["n_chars"], conv_id
+
+
+def test_streaming_web_extraction_drain_matches_batch(spark):
+    """The fused HTML-strip + extraction operator runs unchanged under a
+    streaming plan: an availableNow drain over HTML turns produces the
+    same rows as the batch web path."""
+    import json as _json
+
+    from material_parsers_spark.pipeline.web import (
+        extract_materials_from_html,
+        wrap_turns_in_html,
+    )
+    from material_parsers_spark.streaming.turn_stream import (
+        read_turn_stream,
+        streaming_web_extraction,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream-web-")
+    try:
+        turns = wrap_turns_in_html(generate_turns(spark, 120, partitions=3))
+        turns.write.mode("overwrite").parquet(f"{workdir}/in")
+
+        stream = streaming_web_extraction(
+            read_turn_stream(spark, f"{workdir}/in"))
+        assert stream.isStreaming
+        query = (stream.writeStream.format("parquet")
+                 .option("path", f"{workdir}/out")
+                 .option("checkpointLocation", f"{workdir}/ckpt")
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+
+        batch = extract_materials_from_html(turns)
+        key = lambda r: (r["conv_id"], r["turn_idx"])
+        got = sorted((r.asDict(recursive=True)
+                      for r in spark.read.parquet(f"{workdir}/out")
+                      .drop("ts").collect()), key=key)
+        want = sorted((r.asDict(recursive=True) for r in batch.collect()),
+                      key=key)
+        assert _json.loads(_json.dumps(got)) == _json.loads(_json.dumps(want))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
