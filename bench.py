@@ -28,6 +28,7 @@ HEADLINE = [
     "extract_links",          # linking projection over the shared cache
     "extract_structures",     # full 5,925-pattern gazetteer rollup
     "conversation_span_stats",  # salted skew-safe rollup
+    "conversation_documents",   # ordered per-conv materialization
     "tagger_spans",           # L1 batched-inference seam (rule payload)
     "linking_eval",           # TEI corpus -> linker -> micro/macro report
     "dedup_minhash_lsh",      # MinHash+LSH near-dup (capped buckets)

@@ -299,6 +299,53 @@ def web_extract_materials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("conversation_documents")
+def conversation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation document materialization under stable
+    (conv_id, turn_idx) ordering (the north star's per-turn text
+    surface): each conversation's turns concatenated in order with role
+    prefixes, plus size stats. One hash aggregate; ordering comes from
+    sort_array over (turn_idx, ...) structs, so no window shuffle is
+    needed. Hot conversations make single large rows — bounded here
+    (the skew tail is ~12k turns ≈ 1 MB), and a corpus with truly
+    unbounded conversations should chunk by turn ranges first.
+    Frozen-golden oracle (the turns table is synthesized)."""
+    turns = _turns_for(spark, sf_dir)
+    ordered = F.sort_array(F.collect_list(F.struct(
+        "turn_idx",
+        F.concat_ws(": ", F.coalesce("role", F.lit("?")),
+                    F.coalesce("text", F.lit(""))).alias("line"))))
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length(F.coalesce("text", F.lit(""))))
+            .cast("long").alias("n_chars"),
+            F.concat_ws("\n", F.transform(
+                ordered, lambda s: s.getField("line"))).alias("document"),
+        )
+        .select("conv_id", "n_turns", "n_chars", "document")
+    )
+
+
+@_register("conversation_dedup")
+def conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup: fingerprint = md5 of the ordered
+    role+text concatenation, grouped to find conversations whose entire
+    transcript is byte-identical (canned sessions, replayed demos — the
+    transcript-corpus analog of document dedup_exact). Shuffles only
+    (conv_id, fingerprint) pairs after the per-conversation aggregate.
+    Frozen-golden oracle."""
+    docs = conversation_documents(spark, sf_dir)
+    return (
+        docs.select("conv_id", _h(F.col("document")).alias("conv_hash"))
+        .groupBy("conv_hash")
+        .agg(F.count("*").alias("n_convs"),
+             F.min("conv_id").alias("first_conv"))
+        .where(F.col("n_convs") > 1)
+    )
+
+
 @_register("layout_reading_order", """
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS words
@@ -1839,6 +1886,8 @@ GOLDEN_QUERIES = (
     "conversation_span_stats",
     "tagger_spans",
     "web_main_content",
+    "conversation_documents",
+    "conversation_dedup",
 )
 
 def golden_path(sf_name: str, query: str) -> str:

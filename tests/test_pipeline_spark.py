@@ -317,3 +317,29 @@ def test_deduped_extraction_matches_direct_path(spark, turns):
     a = sorted((r.asDict(recursive=True) for r in direct.collect()), key=key)
     b = sorted((r.asDict(recursive=True) for r in deduped.collect()), key=key)
     assert _json.loads(_json.dumps(a)) == _json.loads(_json.dumps(b))
+
+
+def test_conversation_documents_order_and_dedup(spark):
+    """The materialized document must list turns in turn_idx order, and
+    identical conversations must share a dedup fingerprint."""
+    from material_parsers_spark.queries import SPARK_QUERIES, _TURNS_CACHE
+
+    import os
+    os.environ["SPARK_GRAFT_TURNS"] = "300"
+    try:
+        docs = {r.conv_id: r for r in SPARK_QUERIES[
+            "conversation_documents"](spark, "/root/testdata/sf0.001")
+            .collect()}
+        turns_df = generate_turns(spark, 300, partitions=4)
+        for conv_id, rows in [
+            (c, sorted([r for r in turns_df.collect() if r.conv_id == c],
+                       key=lambda r: r.turn_idx))
+            for c in list(docs)[:5]
+        ]:
+            expected = "\n".join(
+                f"{r.role or '?'}: {r.text or ''}" for r in rows)
+            assert docs[conv_id].document == expected, conv_id
+            assert docs[conv_id].n_turns == len(rows)
+    finally:
+        del os.environ["SPARK_GRAFT_TURNS"]
+        _TURNS_CACHE.clear()
