@@ -328,18 +328,30 @@ def conversation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversation_fingerprints(turns: DataFrame) -> DataFrame:
+    """(conv_id, conv_hash): md5 over the JSON of the ordered
+    (turn_idx, role, text) struct array. JSON framing makes the
+    fingerprint INJECTIVE on transcripts — a turn text containing
+    '\\nassistant: ...' cannot collide with a genuinely separate turn the
+    way a plain line-joined rendering would, because every field is
+    escaped and delimited."""
+    ordered = F.sort_array(
+        F.collect_list(F.struct("turn_idx", "role", "text")))
+    return turns.groupBy("conv_id").agg(
+        _h(F.to_json(ordered)).alias("conv_hash"))
+
+
 @_register("conversation_dedup")
 def conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversation-level exact dedup: fingerprint = md5 of the ordered
-    role+text concatenation, grouped to find conversations whose entire
-    transcript is byte-identical (canned sessions, replayed demos — the
-    transcript-corpus analog of document dedup_exact). Shuffles only
-    (conv_id, fingerprint) pairs after the per-conversation aggregate.
-    Frozen-golden oracle."""
-    docs = conversation_documents(spark, sf_dir)
+    """Conversation-level exact dedup: injective transcript fingerprints
+    (see conversation_fingerprints), grouped to find conversations whose
+    entire transcript is byte-identical (canned sessions, replayed
+    demos — the transcript-corpus analog of document dedup_exact).
+    Shuffles only (conv_id, fingerprint) pairs after the
+    per-conversation aggregate. Frozen-golden oracle."""
+    fps = conversation_fingerprints(_turns_for(spark, sf_dir))
     return (
-        docs.select("conv_id", _h(F.col("document")).alias("conv_hash"))
-        .groupBy("conv_hash")
+        fps.groupBy("conv_hash")
         .agg(F.count("*").alias("n_convs"),
              F.min("conv_id").alias("first_conv"))
         .where(F.col("n_convs") > 1)
@@ -1858,6 +1870,15 @@ def clear_extraction_cache() -> None:
     for frame in _EXTRACTED_CACHE.values():
         frame.unpersist()
     _EXTRACTED_CACHE.clear()
+
+
+def clear_turns_cache() -> None:
+    """Unpersist and evict the cached synthetic turns frames (tests use
+    this after overriding SPARK_GRAFT_TURNS so cached blocks don't leak
+    in a shared session)."""
+    for frame in _TURNS_CACHE.values():
+        frame.unpersist()
+    _TURNS_CACHE.clear()
 
 
 # ---------------------------------------------------------------------------

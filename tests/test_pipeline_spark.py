@@ -319,10 +319,12 @@ def test_deduped_extraction_matches_direct_path(spark, turns):
     assert _json.loads(_json.dumps(a)) == _json.loads(_json.dumps(b))
 
 
-def test_conversation_documents_order_and_dedup(spark):
-    """The materialized document must list turns in turn_idx order, and
-    identical conversations must share a dedup fingerprint."""
-    from material_parsers_spark.queries import SPARK_QUERIES, _TURNS_CACHE
+def test_conversation_documents_are_ordered(spark):
+    """The materialized document must list turns in turn_idx order."""
+    from material_parsers_spark.queries import (
+        SPARK_QUERIES,
+        clear_turns_cache,
+    )
 
     import os
     os.environ["SPARK_GRAFT_TURNS"] = "300"
@@ -330,16 +332,39 @@ def test_conversation_documents_order_and_dedup(spark):
         docs = {r.conv_id: r for r in SPARK_QUERIES[
             "conversation_documents"](spark, "/root/testdata/sf0.001")
             .collect()}
-        turns_df = generate_turns(spark, 300, partitions=4)
-        for conv_id, rows in [
-            (c, sorted([r for r in turns_df.collect() if r.conv_id == c],
-                       key=lambda r: r.turn_idx))
-            for c in list(docs)[:5]
-        ]:
+        all_rows = generate_turns(spark, 300, partitions=4).collect()
+        for conv_id in list(docs)[:5]:
+            rows = sorted([r for r in all_rows if r.conv_id == conv_id],
+                          key=lambda r: r.turn_idx)
             expected = "\n".join(
                 f"{r.role or '?'}: {r.text or ''}" for r in rows)
             assert docs[conv_id].document == expected, conv_id
             assert docs[conv_id].n_turns == len(rows)
     finally:
         del os.environ["SPARK_GRAFT_TURNS"]
-        _TURNS_CACHE.clear()
+        clear_turns_cache()
+
+
+def test_conversation_fingerprints_are_injective(spark):
+    """Identical transcripts share a fingerprint; a transcript whose turn
+    TEXT embeds a 'role: text' newline rendering of another must NOT
+    collide with it (the JSON framing is injective — a line-joined
+    rendering would hash these two the same)."""
+    from material_parsers_spark.queries import conversation_fingerprints
+
+    rows = [
+        # conv a == conv b (true duplicates)
+        ("a", 0, "user", "hi", None, None),
+        ("a", 1, "assistant", "ok", None, None),
+        ("b", 0, "user", "hi", None, None),
+        ("b", 1, "assistant", "ok", None, None),
+        # conv c: ONE turn whose text renders like a+b's document
+        ("c", 0, "user", "hi\nassistant: ok", None, None),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    fps = {r.conv_id: r.conv_hash
+           for r in conversation_fingerprints(turns).collect()}
+    assert fps["a"] == fps["b"]
+    assert fps["c"] != fps["a"]

@@ -153,7 +153,7 @@ def test_streaming_web_extraction_drain_matches_batch(spark):
         key = lambda r: (r["conv_id"], r["turn_idx"])
         got = sorted((r.asDict(recursive=True)
                       for r in spark.read.parquet(f"{workdir}/out")
-                      .drop("ts").collect()), key=key)
+                      .collect()), key=key)
         want = sorted((r.asDict(recursive=True) for r in batch.collect()),
                       key=key)
         assert _json.loads(_json.dumps(got)) == _json.loads(_json.dumps(want))
