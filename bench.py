@@ -40,6 +40,7 @@ HEADLINE = [
     "similarity_topk",        # brute-force ANN baseline
     "similarity_ann_lsh",     # multi-table sign-LSH + Hamming-1 probes
     "similarity_ivf",         # pivot-cell inverted file, nprobe=2
+    "similarity_pq",          # product-quantization ADC scoring
     "stable_ordering",        # window ordering
     "corpus_rollup",          # grouping sets
 ]

@@ -1549,6 +1549,107 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3).select("q_id", "vec_id", "cosine"))
 
 
+# PQ codebook rows (disjoint from the IVF pivots): codeword c of
+# subvector m is row (200+c)'s dims [8m, 8m+8) — a deterministic
+# stand-in for trained sub-quantizers, like the IVF pivots
+_PQ_LO, _PQ_HI = 200, 216      # 16 codewords per subvector
+_PQ_M, _PQ_DSUB = 8, 8         # 8 subvectors x 8 dims (64-dim vectors)
+
+_PQ_SUBDIST_SQL = """
+  list_reduce(list_transform(generate_series(1, {dsub}),
+      d -> pow({a}[(m * {dsub}) + d]::DOUBLE
+               - {b}[(m * {dsub}) + d]::DOUBLE, 2)),
+      (x, y) -> x + y)
+"""
+
+
+@_register("similarity_pq", f"""
+WITH cb AS (
+  SELECT vec_id - {_PQ_LO} AS code, embedding FROM embeddings
+  WHERE vec_id >= {_PQ_LO} AND vec_id < {_PQ_HI}),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, t.m, cb.code,
+           row_number() OVER (
+               PARTITION BY e.vec_id, t.m
+               ORDER BY {_PQ_SUBDIST_SQL.format(
+                   dsub=_PQ_DSUB, a='e.embedding', b='cb.embedding')} ASC,
+               cb.code ASC) AS rn
+    FROM embeddings e, generate_series(0, {_PQ_M - 1}) t(m), cb)
+  WHERE rn = 1),
+qvecs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < 5),
+adc AS (
+  SELECT q.q_id, enc.vec_id,
+         round(sum({_PQ_SUBDIST_SQL.format(
+             dsub=_PQ_DSUB, a='q.q_vec', b='cb.embedding')}), 6) AS adc_dist
+  FROM qvecs q
+  CROSS JOIN enc
+  JOIN cb ON enc.code = cb.code
+  WHERE enc.vec_id <> q.q_id
+  GROUP BY 1, 2)
+SELECT q_id, vec_id, adc_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist ASC, vec_id ASC) AS rn
+  FROM adc) WHERE rn <= 3
+""")
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): vectors are encoded
+    as {_PQ_M} sub-codes (argmin codeword per 8-dim subvector) and
+    queries score candidates by ASYMMETRIC distance — the sum over
+    subvectors of the query-slice-to-codeword distance — so the scored
+    representation is {_PQ_M} bytes per vector instead of 64 floats.
+
+    Scale shape: encoding is one (vector x subvector x codeword) join +
+    a rank window — at 100 TB the codes are computed once and persisted
+    (an index build, like IVF's); ADC scoring touches only codes plus
+    the tiny broadcast codebook, never the raw vectors. Both engines
+    compute identical left-fold double arithmetic, so argmin codes and
+    the ADC ranking agree exactly (ties break on code/vec ids)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = (emb.where((F.col("vec_id") >= _PQ_LO)
+                    & (F.col("vec_id") < _PQ_HI))
+          .select((F.col("vec_id") - _PQ_LO).cast("int").alias("code"),
+                  F.col("embedding").alias("cb_vec")))
+
+    def subdist(a, b):
+        # left-fold in dim order == the oracle's list_reduce
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, F.col("m") * _PQ_DSUB + 1, _PQ_DSUB),
+                F.slice(b, F.col("m") * _PQ_DSUB + 1, _PQ_DSUB),
+                lambda x, y: F.pow(x.cast("double") - y.cast("double"),
+                                   F.lit(2.0))),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    enc_window = Window.partitionBy("vec_id", "m") \
+        .orderBy(F.asc("subdist"), F.asc("code"))
+    enc = (
+        emb.select("vec_id", "embedding", ms)
+        .join(F.broadcast(cb))
+        .withColumn("subdist", subdist(F.col("embedding"),
+                                       F.col("cb_vec")))
+        .withColumn("rn", F.row_number().over(enc_window))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    qvecs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    adc = (
+        enc.join(F.broadcast(qvecs))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(cb), "code")
+        .withColumn("part", subdist(F.col("q_vec"), F.col("cb_vec")))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("part"), 6).alias("adc_dist"))
+    )
+    topk = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id"))
+    return (adc.withColumn("rn", F.row_number().over(topk))
+            .where(F.col("rn") <= 3).select("q_id", "vec_id", "adc_dist"))
+
+
 _IVF_PIVOT_LO, _IVF_PIVOT_HI = 100, 116   # 16 pivot vectors
 _IVF_NPROBE = 2
 
