@@ -1563,6 +1563,46 @@ _PQ_SUBDIST_SQL = """
 """
 
 
+def _pq_subdist_literal_sql(m: int, codeword: list) -> str:
+    """Squared L2 between this row's subvector m and a driver-inlined
+    codeword slice, as ONE rendered SQL string (4,096 Column objects
+    would cost seconds of py4j; the rendered text is identical to
+    Catalyst).  Left-fold in dim order and pow(., 2.0) match the
+    oracle's list_reduce arithmetic bit-for-bit."""
+    arr = ", ".join(f"{float(x)!r}D" for x in codeword)
+    return (f"aggregate(zip_with(slice(embedding, {m * _PQ_DSUB + 1}, "
+            f"{_PQ_DSUB}), array({arr}), "
+            "(x, w) -> pow(cast(x as double) - w, 2.0D)), "
+            "0.0D, (acc, v) -> acc + v)")
+
+
+def pq_encode(emb: DataFrame, codebook: list) -> DataFrame:
+    """PQ ENCODE as a zero-shuffle per-row argmin: the 16 codewords per
+    subvector are inlined as literals (an index-build collect, like
+    IVF's pivots) and each sub-code is `array_sort` over 16
+    (subdist, code) structs — no explode, no join, no window, no
+    Exchange anywhere in the encode plan.  Ties break on the smaller
+    code, matching the oracle's `ORDER BY subdist ASC, code ASC`.
+    Returns (vec_id, m, code) via one posexplode of the codes array.
+
+    `codebook` is the collected rows _PQ_LO..PQ_HI sorted by vec_id;
+    codeword c of subvector m is row c's dims [m*8, m*8+8)."""
+    code_cols = []
+    for m in range(_PQ_M):
+        structs = ", ".join(
+            f"named_struct('d', {_pq_subdist_literal_sql(m, list(row.embedding)[m * _PQ_DSUB:(m + 1) * _PQ_DSUB])}, "
+            f"'c', {c})"
+            for c, row in enumerate(codebook))
+        code_cols.append(
+            f"array_sort(array({structs}), (l, r) -> "
+            "CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1 "
+            "WHEN l.c < r.c THEN -1 ELSE 1 END)[0].c")
+    codes = f"array({', '.join(code_cols)})"
+    return (emb.select("vec_id",
+                       F.posexplode(F.expr(codes)).alias("m", "code"))
+            .select("vec_id", "m", "code"))
+
+
 @_register("similarity_pq", f"""
 WITH cb AS (
   SELECT vec_id - {_PQ_LO} AS code, embedding FROM embeddings
@@ -1600,17 +1640,23 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subvectors of the query-slice-to-codeword distance — so the scored
     representation is {_PQ_M} bytes per vector instead of 64 floats.
 
-    Scale shape: encoding is one (vector x subvector x codeword) join +
-    a rank window — at 100 TB the codes are computed once and persisted
-    (an index build, like IVF's); ADC scoring touches only codes plus
-    the tiny broadcast codebook, never the raw vectors. Both engines
-    compute identical left-fold double arithmetic, so argmin codes and
-    the ADC ranking agree exactly (ties break on code/vec ids)."""
+    Scale shape: ENCODE is a zero-shuffle whole-stage-codegen projection
+    (see pq_encode) — at 100 TB the codes are computed once and
+    persisted (an index build, like IVF's); ADC scoring touches only
+    codes plus the tiny broadcast codebook, never the raw vectors.
+    Both engines compute identical left-fold double arithmetic, so
+    argmin codes and the ADC ranking agree exactly (ties break on
+    code/vec ids)."""
     emb = _read(spark, sf_dir, "embeddings")
     cb = (emb.where((F.col("vec_id") >= _PQ_LO)
                     & (F.col("vec_id") < _PQ_HI))
           .select((F.col("vec_id") - _PQ_LO).cast("int").alias("code"),
                   F.col("embedding").alias("cb_vec")))
+    codebook = sorted(
+        emb.where((F.col("vec_id") >= _PQ_LO)
+                  & (F.col("vec_id") < _PQ_HI))
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
 
     def subdist(a, b):
         # left-fold in dim order == the oracle's list_reduce
@@ -1622,18 +1668,7 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.lit(2.0))),
             F.lit(0.0), lambda acc, v: acc + v)
 
-    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
-    enc_window = Window.partitionBy("vec_id", "m") \
-        .orderBy(F.asc("subdist"), F.asc("code"))
-    enc = (
-        emb.select("vec_id", "embedding", ms)
-        .join(F.broadcast(cb))
-        .withColumn("subdist", subdist(F.col("embedding"),
-                                       F.col("cb_vec")))
-        .withColumn("rn", F.row_number().over(enc_window))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
+    enc = pq_encode(emb, codebook)
     qvecs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     adc = (

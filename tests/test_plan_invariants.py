@@ -36,3 +36,28 @@ def test_no_rowwise_python_and_python_only_where_expected(spark, name):
         for node in ("ArrowEvalPython", "MapInPandas", "PythonMapInArrow",
                      "FlatMapGroupsInPandas"):
             assert node not in plan, f"{name}: unexpected {node} in plan"
+
+
+def test_pq_encode_is_a_zero_shuffle_projection(spark):
+    """The round-3 weak: PQ encode used to explode x8 subvectors, join 16
+    broadcast codewords (128x rows) and take argmin via a row_number
+    window — a full shuffle of 128N rows.  The rewrite computes each
+    sub-code as a per-row array-algebra argmin over inlined codeword
+    literals; this pins ENCODE as a pure projection: no Exchange, no
+    Python, no Join anywhere in its physical plan."""
+    from pyspark.sql import functions as F
+    from material_parsers_spark import queries as q
+
+    emb = q._read(spark, SF_DIR, "embeddings")
+    codebook = sorted(
+        emb.where((F.col("vec_id") >= q._PQ_LO)
+                  & (F.col("vec_id") < q._PQ_HI))
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+    plan = q.pq_encode(emb, codebook) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
