@@ -30,6 +30,7 @@ HEADLINE = [
     "conversation_span_stats",  # salted skew-safe rollup
     "conversation_documents",   # ordered per-conv materialization
     "tagger_spans",           # L1 batched-inference seam (rule payload)
+    "tagger_spans_matrix",    # L1 seam, numeric payload (padded X @ W)
     "linking_eval",           # TEI corpus -> linker -> micro/macro report
     "dedup_minhash_lsh",      # MinHash+LSH near-dup (capped buckets)
     "dedup_minhash_components",  # representative-edge connected components

@@ -420,6 +420,34 @@ def tagger_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("tagger_spans_matrix")
+def tagger_spans_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 seam with a NUMERIC payload: the same pluggable tagging stage
+    as tagger_spans, but the payload is the fixed-weight NumPy matrix
+    model (pipeline/matrix_tagger.py) — padded (batch, time, features)
+    tensor, one X @ W forward pass, masked argmax, BIO decode. Proves
+    the seam end to end with tensors, the reference's production shape
+    (`material_parser_ml.py:44-56` batched model.tag), not rules.
+    Same plan shape: one shuffle-free ArrowEvalPython stage."""
+    from .pipeline.inference import tag_turns
+    from .pipeline.matrix_tagger import matrix_payload
+
+    turns = _turns_for(spark, sf_dir)
+    return (
+        tag_turns(turns.select("conv_id", "turn_idx", "text"),
+                  payload=matrix_payload)
+        .select("conv_id", "turn_idx",
+                F.explode("tagged_spans").alias("span"))
+        .select(
+            "conv_id", "turn_idx",
+            F.col("span.text").alias("span_text"),
+            F.col("span.type").alias("span_type"),
+            F.col("span.offset_start").alias("offset_start"),
+            F.col("span.offset_end").alias("offset_end"),
+        )
+    )
+
+
 @_register("conversation_span_stats")
 def conversation_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase per-conversation rollup (skew-safe)."""
@@ -2042,6 +2070,7 @@ GOLDEN_QUERIES = (
     "extract_links",
     "conversation_span_stats",
     "tagger_spans",
+    "tagger_spans_matrix",
     "web_main_content",
     "conversation_documents",
     "conversation_dedup",

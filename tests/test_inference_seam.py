@@ -131,3 +131,101 @@ def test_payload_length_mismatch_raises(spark):
         "conv_id string, turn_idx int, text string")
     with pytest.raises(Exception, match="payload returned"):
         tag_turns(df, payload=short_payload).collect()
+
+
+# ---------------------------------------------------------------------------
+# numeric payload: the fixed-weight NumPy matrix model (round-4 ask —
+# prove the seam with TENSORS, not rules: batch assembly, padding, masked
+# argmax, BIO decode, chunk re-offsetting)
+# ---------------------------------------------------------------------------
+
+def _spans(payload, text, **kw):
+    tokens, offsets = tokenize(text)
+    return payload([(tokens, offsets, text)], **kw) if kw else \
+        payload([(tokens, offsets, text)])
+
+
+def test_matrix_payload_golden_sentences():
+    """The forward pass (featurize -> pad -> window-stack -> X @ W ->
+    masked argmax -> BIO decode) on hand-picked sentences."""
+    from material_parsers_spark.pipeline.matrix_tagger import matrix_payload
+
+    text = "The material MgB 2 superconducts at 39 K under pressure."
+    [spans] = _spans(matrix_payload, text)
+    assert [(s["text"], s["type"]) for s in spans] == [
+        ("MgB 2", "<formula>"), ("39 K", "<tcValue>")]
+    # char offsets index the original text exactly
+    for s in spans:
+        assert text[s["offset_start"]:s["offset_end"]] == s["text"]
+
+    assert _spans(matrix_payload, "no entities here at all") == [[]]
+    assert matrix_payload([]) == []
+
+
+def test_matrix_payload_padding_is_inert():
+    """Batching a short sequence next to a long one (forcing padding on
+    the short one) must not change either result — the padding mask and
+    zero feature rows are genuinely inert."""
+    from material_parsers_spark.pipeline.matrix_tagger import matrix_payload
+
+    short = "MgB 2 superconducts at 39 K."
+    long = ("We measured LaFeAsO 0.89 F 0.11 with Tc = 26 K. " * 20).strip()
+
+    def one(text):
+        [spans] = _spans(matrix_payload, text)
+        return spans
+
+    batch = []
+    for text in (short, long):
+        tokens, offsets = tokenize(text)
+        batch.append((tokens, offsets, text))
+    together = matrix_payload(batch)
+    assert together == [one(short), one(long)]
+
+
+def test_matrix_payload_through_seam_with_chunking(spark):
+    """The numeric payload driven through tag_turns with a small model
+    budget: chunk assembly, padded batches, and span re-offsetting
+    across chunk boundaries must reproduce whole-sequence tagging
+    (sentence-aligned chunks, so no span straddles)."""
+    from material_parsers_spark.pipeline.matrix_tagger import matrix_payload
+
+    sentence = "The material MgB 2 superconducts at 39 K. "
+    n_tokens = len(tokenize(sentence)[0])
+    text = (sentence * 7).rstrip()
+    df = spark.createDataFrame(
+        [("c", 0, text)], "conv_id string, turn_idx int, text string")
+
+    chunked = tag_turns(df, payload=matrix_payload,
+                        max_sequence_length=n_tokens, batch_size=2) \
+        .select("tagged_spans").collect()[0].tagged_spans
+    tokens, offsets = tokenize(text)
+    [whole] = matrix_payload([(tokens, offsets, text)])
+    assert [s.asDict() for s in chunked] == whole
+    # the text genuinely crossed chunk boundaries and later-chunk spans
+    # carry whole-turn coordinates
+    assert len(chunk_sequence(len(tokens), n_tokens)) == 7
+    assert any(s["offset_start"] >= len(sentence) for s in whole)
+    assert all(text[s["offset_start"]:s["offset_end"]] == s["text"]
+               for s in whole)
+
+
+def test_matrix_payload_batches_cross_turn_boundaries(spark):
+    """Through the seam over many turns: batch_size=4 groups sequences
+    from DIFFERENT turns into one padded tensor; results must equal the
+    rule-free per-turn forward pass."""
+    from material_parsers_spark.pipeline.matrix_tagger import matrix_payload
+
+    rows = [("c", i,
+             f"Sample {i}: MgB {i % 7} superconducts at {20 + i} K.")
+            for i in range(16)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+    tagged = tag_turns(df, payload=matrix_payload, batch_size=4) \
+        .select("turn_idx", "tagged_spans").collect()
+    assert len(tagged) == 16
+    for row in tagged:
+        text = rows[row.turn_idx][2]
+        tokens, offsets = tokenize(text)
+        [expected] = matrix_payload([(tokens, offsets, text)])
+        assert [s.asDict() for s in row.tagged_spans] == expected

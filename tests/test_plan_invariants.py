@@ -15,6 +15,7 @@ SF_DIR = "/root/testdata/sf0.001"
 PYTHON_ALLOWED = {
     "extract_materials", "extract_spans", "extract_structures",
     "extract_links", "conversation_span_stats", "tagger_spans",
+    "tagger_spans_matrix",
     "linking_eval", "corpus_statistics", "class_content_distribution",
     "multimodal_features", "web_main_content", "web_extract_materials",
 }

@@ -34,14 +34,18 @@ SF_DIRS = {
 }
 
 
-def freeze(spark, sf_name: str, sf_dir: str) -> None:
+def freeze(spark, sf_name: str, sf_dir: str, only=()) -> None:
     from material_parsers_spark.queries import (
         GOLDEN_QUERIES,
         SPARK_QUERIES,
         golden_path,
     )
 
+    unknown = set(only) - set(GOLDEN_QUERIES)
+    assert not unknown, f"not golden queries: {sorted(unknown)}"
     for name in GOLDEN_QUERIES:
+        if only and name not in only:
+            continue
         target = golden_path(sf_name, name)
         os.makedirs(os.path.dirname(target), exist_ok=True)
         staging = tempfile.mkdtemp(prefix=f"golden-{name}-")
@@ -63,8 +67,9 @@ def main() -> None:
 
     spark = build_session(app_name="freeze-goldens", master="local[8]",
                          shuffle_partitions=8)
+    only = tuple(sys.argv[1:])   # optional query subset
     for sf_name, sf_dir in SF_DIRS.items():
-        freeze(spark, sf_name, sf_dir)
+        freeze(spark, sf_name, sf_dir, only=only)
 
 
 if __name__ == "__main__":
