@@ -1,0 +1,291 @@
+"""Compositional chemical-name grammar (operators F2/F3 breadth).
+
+The reference delegates name parsing to text2chem's ChemicalNameProcessing
+(`/root/reference/material_parsers/material_parser/material_parser_formulas.py:16-27`,
+name entry at :77-116, spaCy-lemma retry at
+`/root/reference/material_parsers/service.py:215-246`). text2chem is not a
+dependency here; this module re-implements the PUBLIC nomenclature rules
+that grammar covers for inorganic names — all standard IUPAC/descriptive
+chemistry, no reference code involved:
+
+- binary "-ide" names with charge balancing: "lanthanum oxide" -> La2O3
+  (La3+ / O2- balanced at the gcd);
+- Roman-numeral oxidation states: "iron(III) oxide" -> Fe2O3;
+- classical -ic/-ous cation adjectives: "ferric oxide" -> Fe2O3;
+- multiplicative prefixes overriding balance: "titanium dioxide" -> TiO2,
+  "dinitrogen pentoxide" -> N2O5 (with the "pentoxide" vowel elision);
+- polyatomic "-ate"/"-ite" anions: "barium carbonate" -> BaCO3,
+  "copper sulfate" -> CuSO4, "sodium nitrite" -> NaNO2;
+- ternary metal-oxide "-ate" names under the perovskite/orthoferrite
+  convention (MO3 anion units): "strontium titanate" -> SrTiO3,
+  "lanthanum ferrite" -> LaFeO3 (spinel-convention names like the
+  MFe2O4 ferrites are OUTSIDE this grammar and return no parse);
+- hydrate suffixes: "copper sulfate pentahydrate" -> CuSO4·5H2O with the
+  composition mirroring the ANHYDROUS first part, exactly like the
+  formula path's hydrate rule (reference ``composition[0].elements``);
+- a curated common-name dictionary (alumina, silica, yttria, YBCO, ...).
+
+Unparseable names return ``None`` — the caller keeps the reference's
+degrade-to-empty contract.
+"""
+
+from __future__ import annotations
+
+from math import gcd
+from typing import Dict, Optional, Tuple
+
+from .elements import ELEMENT_NAMES
+
+# default (most common materials-domain) oxidation state per cation element
+CATION_CHARGES: Dict[str, int] = {
+    "H": 1, "Li": 1, "Na": 1, "K": 1, "Rb": 1, "Cs": 1, "Ag": 1,
+    "Be": 2, "Mg": 2, "Ca": 2, "Sr": 2, "Ba": 2, "Zn": 2, "Cd": 2,
+    "Ni": 2, "Cu": 2, "Co": 2, "Fe": 2, "Mn": 2, "Pb": 2, "Sn": 2,
+    "Hg": 2, "Pd": 2, "Pt": 2,
+    "B": 3, "Al": 3, "Ga": 3, "In": 3, "Sc": 3, "Y": 3, "La": 3,
+    "Ce": 3, "Pr": 3, "Nd": 3, "Sm": 3, "Eu": 3, "Gd": 3, "Tb": 3,
+    "Dy": 3, "Ho": 3, "Er": 3, "Tm": 3, "Yb": 3, "Lu": 3, "Bi": 3,
+    "Cr": 3, "As": 3, "Sb": 3,
+    "C": 4, "Si": 4, "Ge": 4, "Ti": 4, "Zr": 4, "Hf": 4, "Th": 4,
+    "N": 3, "P": 3,
+    "V": 5, "Nb": 5, "Ta": 5,
+    "Mo": 6, "W": 6, "U": 6,
+}
+
+# classical -ic (higher) / -ous (lower) cation adjectives
+CLASSICAL_CATIONS: Dict[str, Tuple[str, int]] = {
+    "ferric": ("Fe", 3), "ferrous": ("Fe", 2),
+    "cupric": ("Cu", 2), "cuprous": ("Cu", 1),
+    "stannic": ("Sn", 4), "stannous": ("Sn", 2),
+    "plumbic": ("Pb", 4), "plumbous": ("Pb", 2),
+    "mercuric": ("Hg", 2), "mercurous": ("Hg", 1),
+    "cobaltic": ("Co", 3), "cobaltous": ("Co", 2),
+    "chromic": ("Cr", 3), "chromous": ("Cr", 2),
+    "manganic": ("Mn", 3), "manganous": ("Mn", 2),
+}
+
+# monatomic "-ide" anion names -> (element, charge)
+ANIONS_IDE: Dict[str, Tuple[str, int]] = {
+    "hydride": ("H", -1), "fluoride": ("F", -1), "chloride": ("Cl", -1),
+    "bromide": ("Br", -1), "iodide": ("I", -1),
+    "oxide": ("O", -2), "sulfide": ("S", -2), "sulphide": ("S", -2),
+    "selenide": ("Se", -2), "telluride": ("Te", -2),
+    "nitride": ("N", -3), "phosphide": ("P", -3), "arsenide": ("As", -3),
+    "antimonide": ("Sb", -3), "boride": ("B", -3), "carbide": ("C", -4),
+    "silicide": ("Si", -4),
+}
+
+# polyatomic anions -> (unit composition, charge); -ite = one O fewer
+ANIONS_POLY: Dict[str, Tuple[Dict[str, int], int]] = {
+    "hydroxide": ({"O": 1, "H": 1}, -1),
+    "cyanide": ({"C": 1, "N": 1}, -1),
+    "carbonate": ({"C": 1, "O": 3}, -2),
+    "nitrate": ({"N": 1, "O": 3}, -1),
+    "nitrite": ({"N": 1, "O": 2}, -1),
+    "sulfate": ({"S": 1, "O": 4}, -2),
+    "sulphate": ({"S": 1, "O": 4}, -2),
+    "sulfite": ({"S": 1, "O": 3}, -2),
+    "sulphite": ({"S": 1, "O": 3}, -2),
+    "phosphate": ({"P": 1, "O": 4}, -3),
+    "phosphite": ({"P": 1, "O": 3}, -3),
+    "chromate": ({"Cr": 1, "O": 4}, -2),
+    "dichromate": ({"Cr": 2, "O": 7}, -2),
+    "permanganate": ({"Mn": 1, "O": 4}, -1),
+    "chlorate": ({"Cl": 1, "O": 3}, -1),
+    "perchlorate": ({"Cl": 1, "O": 4}, -1),
+    "silicate": ({"Si": 1, "O": 3}, -2),      # metasilicate convention
+    "borate": ({"B": 1, "O": 3}, -3),
+    "acetate": ({"C": 2, "H": 3, "O": 2}, -1),
+}
+
+# ternary metal-oxide "-ate" names, perovskite/orthoferrite MO3 units:
+# charge = (charge of M in CATION_CHARGES via the named element) - 6
+TERNARY_ATE: Dict[str, str] = {
+    "titanate": "Ti", "zirconate": "Zr", "hafnate": "Hf",
+    "stannate": "Sn", "manganite": "Mn", "ferrite": "Fe",
+    "cobaltite": "Co", "niobate": "Nb", "tantalate": "Ta",
+    "vanadate": "V", "tungstate": "W", "molybdate": "Mo",
+    "cuprate": "Cu", "aluminate": "Al", "gallate": "Ga",
+    "ruthenate": "Ru", "cerate": "Ce",
+}
+# oxidation state of the B-site metal inside the MO3 unit
+TERNARY_B_CHARGE: Dict[str, int] = {
+    "Ti": 4, "Zr": 4, "Hf": 4, "Sn": 4, "Mn": 3, "Fe": 3, "Co": 3,
+    "Nb": 5, "Ta": 5, "V": 5, "W": 6, "Mo": 6, "Cu": 2, "Al": 3,
+    "Ga": 3, "Ru": 4, "Ce": 4,
+}
+
+MULTIPLIER_PREFIXES = {
+    "mono": 1, "mon": 1, "di": 2, "tri": 3, "tetra": 4, "tetr": 4,
+    "penta": 5, "pent": 5, "hexa": 6, "hex": 6, "hepta": 7, "hept": 7,
+    "octa": 8, "oct": 8, "nona": 9, "deca": 10,
+}
+
+HYDRATE_PREFIXES = {
+    "mono": 1, "di": 2, "tri": 3, "tetra": 4, "penta": 5, "hexa": 6,
+    "hepta": 7, "octa": 8, "nona": 9, "deca": 10, "": 1,
+}
+
+ROMAN = {"i": 1, "ii": 2, "iii": 3, "iv": 4, "v": 5, "vi": 6, "vii": 7,
+         "viii": 8}
+
+# curated common names; compositions are integer-exact
+COMMON_NAMES: Dict[str, Tuple[str, Dict[str, int]]] = {
+    "water": ("H2O", {"H": 2, "O": 1}),
+    "ammonia": ("NH3", {"N": 1, "H": 3}),
+    "alumina": ("Al2O3", {"Al": 2, "O": 3}),
+    "silica": ("SiO2", {"Si": 1, "O": 2}),
+    "titania": ("TiO2", {"Ti": 1, "O": 2}),
+    "zirconia": ("ZrO2", {"Zr": 1, "O": 2}),
+    "magnesia": ("MgO", {"Mg": 1, "O": 1}),
+    "yttria": ("Y2O3", {"Y": 2, "O": 3}),
+    "ceria": ("CeO2", {"Ce": 1, "O": 2}),
+    "urania": ("UO2", {"U": 1, "O": 2}),
+    "lime": ("CaO", {"Ca": 1, "O": 1}),
+    "quicklime": ("CaO", {"Ca": 1, "O": 1}),
+    "rust": ("Fe2O3", {"Fe": 2, "O": 3}),
+    "graphite": ("C", {"C": 1}),
+    "diamond": ("C", {"C": 1}),
+    "ybco": ("YBa2Cu3O7", {"Y": 1, "Ba": 2, "Cu": 3, "O": 7}),
+    "lsco": ("La2-xSrxCuO4", {"La": 2, "Sr": 0, "Cu": 1, "O": 4}),
+    # covalent compounds whose conventional formula is NOT the ionic
+    # charge balance — dictionary wins over the grammar
+    "tungsten carbide": ("WC", {"W": 1, "C": 1}),
+}
+
+
+def _strip_hydrate(words: list) -> Tuple[list, int]:
+    """['copper','sulfate','pentahydrate'] -> (['copper','sulfate'], 5)."""
+    if not words:
+        return words, 0
+    last = words[-1]
+    if last == "hydrate":
+        return words[:-1], 1
+    if last.endswith("hydrate"):
+        n = HYDRATE_PREFIXES.get(last[:-len("hydrate")])
+        if n:
+            return words[:-1], n
+    return words, 0
+
+
+def _split_prefix(word: str, vocabulary: Dict) -> Tuple[int, str]:
+    """'dioxide' -> (2, 'oxide'); 'pentoxide' -> (5, 'oxide') (elided
+    vowel); no-prefix words pass through with count 0 (= balance)."""
+    for prefix in sorted(MULTIPLIER_PREFIXES, key=len, reverse=True):
+        if word.startswith(prefix):
+            rest = word[len(prefix):]
+            if rest in vocabulary:
+                return MULTIPLIER_PREFIXES[prefix], rest
+    return 0, word
+
+
+def _parse_cation(word: str) -> Optional[Tuple[str, int, int]]:
+    """Cation word -> (element, charge, explicit_count).
+
+    Accepts element names ('lanthanum'), classical adjectives
+    ('ferric'), multiplicative prefixes ('dinitrogen'), and trailing
+    Roman-numeral states glued by the tokenizer ('iron(iii)')."""
+    count = 0
+    charge = None
+    if "(" in word and word.endswith(")"):
+        word, _, state = word[:-1].partition("(")
+        charge = ROMAN.get(state.strip().lower())
+        if charge is None:
+            return None
+    if word in CLASSICAL_CATIONS:
+        element, cls_charge = CLASSICAL_CATIONS[word]
+        return element, (charge or cls_charge), count
+    if word not in ELEMENT_NAMES:
+        count, word = _split_prefix(word, ELEMENT_NAMES)
+        if word not in ELEMENT_NAMES:
+            return None
+    element = ELEMENT_NAMES[word]
+    if charge is None:
+        charge = CATION_CHARGES.get(element)
+    if charge is None:
+        return None
+    return element, charge, count
+
+
+def _format(element: str, count: int) -> str:
+    return element if count == 1 else f"{element}{count}"
+
+
+def parse_chemical_name(name: str) -> Optional[dict]:
+    """Full-name grammar entry. Returns {"formula": str,
+    "composition": {element: str}} or None when outside the grammar."""
+    cleaned = " ".join(name.strip().lower().replace("-", " ").split())
+    if not cleaned:
+        return None
+
+    if cleaned in COMMON_NAMES:
+        formula, comp = COMMON_NAMES[cleaned]
+        return {"formula": formula,
+                "composition": {el: str(n) for el, n in comp.items()}}
+
+    words = cleaned.split()
+    words, hydrate_n = _strip_hydrate(words)
+    if len(words) != 2:
+        return None
+    cation_word, anion_word = words
+
+    cation = _parse_cation(cation_word)
+    if cation is None:
+        return None
+    element, charge, explicit_cat = cation
+
+    # exact anion names win before prefix stripping ("dichromate" is the
+    # Cr2O7 anion, not di+chromate)
+    if (anion_word in ANIONS_IDE or anion_word in ANIONS_POLY
+            or anion_word in TERNARY_ATE):
+        anion_count = 0
+    else:
+        anion_count, anion_word = _split_prefix(
+            anion_word, {**ANIONS_IDE, **ANIONS_POLY})
+
+    if anion_word in ANIONS_IDE:
+        an_el, an_charge = ANIONS_IDE[anion_word]
+        unit = {an_el: 1}
+    elif anion_word in ANIONS_POLY:
+        unit, an_charge = ANIONS_POLY[anion_word]
+    elif anion_word in TERNARY_ATE and anion_count == 0:
+        b_metal = TERNARY_ATE[anion_word]
+        if charge + TERNARY_B_CHARGE[b_metal] != 6:
+            # only true ABO3 combinations (A + B = +6) are in grammar;
+            # spinel-convention names like "zinc ferrite" (ZnFe2O4)
+            # must degrade to no-parse, not a wrong balanced formula
+            return None
+        an_charge = TERNARY_B_CHARGE[b_metal] - 6   # MO3 unit charge
+        unit = {b_metal: 1, "O": 3}
+    else:
+        return None
+
+    if explicit_cat or anion_count:
+        # explicit multiplicative prefixes override charge balance
+        n_cat = explicit_cat or 1
+        n_an = anion_count or 1
+    else:
+        g = gcd(charge, -an_charge)
+        n_cat, n_an = (-an_charge) // g, charge // g
+
+    composition: Dict[str, int] = {element: n_cat}
+    for el, k in unit.items():
+        composition[el] = composition.get(el, 0) + k * n_an
+
+    formula = _format(element, n_cat)
+    if len(unit) == 1:
+        el = next(iter(unit))
+        formula += _format(el, unit[el] * n_an)
+    elif n_an == 1:
+        formula += "".join(_format(el, k) for el, k in unit.items())
+    else:
+        formula += "(" + "".join(_format(el, k) for el, k in unit.items()) \
+            + f"){n_an}"
+
+    if hydrate_n:
+        # composition mirrors the anhydrous FIRST part, like the formula
+        # path's hydrate rule (reference composition[0].elements)
+        formula += f"·{hydrate_n}H2O" if hydrate_n > 1 else "·H2O"
+
+    return {"formula": formula,
+            "composition": {el: str(n) for el, n in composition.items()}}

@@ -214,6 +214,22 @@ def name_to_formula(name: str) -> dict:
             "name": stripped,
             "formula": symbol,
         }
+    # compositional name grammar (text2chem's ChemicalNameProcessing
+    # slice, kernel/chem_names.py): "lanthanum oxide", "iron(III)
+    # oxide", "strontium titanate", "copper sulfate pentahydrate", ...
+    # The trailing-"s" retry mirrors the reference's spaCy-lemma
+    # fallback (service.py:227-241) for plural names.
+    from .chem_names import parse_chemical_name
+
+    parsed = parse_chemical_name(stripped)
+    if parsed is None and key.endswith("s"):
+        parsed = parse_chemical_name(stripped[:-1])
+    if parsed is not None:
+        return {
+            "composition": parsed["composition"],
+            "name": stripped,
+            "formula": parsed["formula"],
+        }
     out = formula_to_composition(stripped)
     if out:
         out["formula"] = stripped.replace(" ", "")

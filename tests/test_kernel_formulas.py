@@ -138,3 +138,93 @@ class TestMultiPartFormulas:
         # component-first parenthesized group after the separator
         out = formula_to_composition("BiFeO3-(K0.5Na0.5)NbO3")
         assert out["composition"] == {"Bi": "1", "Fe": "1", "O": "3"}
+
+
+class TestChemicalNameGrammar:
+    """Round-4 F2/F3 breadth: the compositional name grammar
+    (kernel/chem_names.py) — the text2chem ChemicalNameProcessing slice
+    the reference wraps (material_parser_formulas.py:16-27, :77-116).
+    One fixture per grammar shape."""
+
+    def _f(self, name):
+        out = name_to_formula(name)
+        return out.get("formula"), out.get("composition")
+
+    def test_binary_ide_charge_balance(self):
+        assert self._f("lanthanum oxide") == \
+            ("La2O3", {"La": "2", "O": "3"})
+        assert self._f("sodium chloride") == \
+            ("NaCl", {"Na": "1", "Cl": "1"})
+        assert self._f("calcium fluoride") == \
+            ("CaF2", {"Ca": "1", "F": "2"})
+        assert self._f("zinc oxide") == ("ZnO", {"Zn": "1", "O": "1"})
+
+    def test_roman_numeral_oxidation_state(self):
+        assert self._f("iron(III) oxide") == \
+            ("Fe2O3", {"Fe": "2", "O": "3"})
+        assert self._f("iron(II) oxide") == ("FeO", {"Fe": "1", "O": "1"})
+        assert self._f("copper(I) sulfide") == \
+            ("Cu2S", {"Cu": "2", "S": "1"})
+
+    def test_classical_ic_ous_adjectives(self):
+        assert self._f("ferric oxide") == ("Fe2O3", {"Fe": "2", "O": "3"})
+        assert self._f("ferrous oxide") == ("FeO", {"Fe": "1", "O": "1"})
+        assert self._f("cuprous oxide") == ("Cu2O", {"Cu": "2", "O": "1"})
+
+    def test_multiplicative_prefixes_override_balance(self):
+        assert self._f("titanium dioxide") == \
+            ("TiO2", {"Ti": "1", "O": "2"})
+        assert self._f("carbon monoxide") == ("CO", {"C": "1", "O": "1"})
+        assert self._f("dinitrogen pentoxide") == \
+            ("N2O5", {"N": "2", "O": "5"})
+        assert self._f("magnesium diboride") == \
+            ("MgB2", {"Mg": "1", "B": "2"})
+
+    def test_polyatomic_ate_ite_anions(self):
+        assert self._f("barium carbonate") == \
+            ("BaCO3", {"Ba": "1", "C": "1", "O": "3"})
+        assert self._f("copper sulfate") == \
+            ("CuSO4", {"Cu": "1", "S": "1", "O": "4"})
+        assert self._f("sodium nitrite") == \
+            ("NaNO2", {"Na": "1", "N": "1", "O": "2"})
+        # exact anion names beat prefix stripping: dichromate is Cr2O7
+        assert self._f("potassium dichromate") == \
+            ("K2Cr2O7", {"K": "2", "Cr": "2", "O": "7"})
+        # polyatomic unit multiplied by balance -> parenthesized formula
+        assert self._f("calcium nitrate") == \
+            ("Ca(NO3)2", {"Ca": "1", "N": "2", "O": "6"})
+
+    def test_ternary_perovskite_ate_names(self):
+        assert self._f("strontium titanate") == \
+            ("SrTiO3", {"Sr": "1", "Ti": "1", "O": "3"})
+        assert self._f("lanthanum ferrite") == \
+            ("LaFeO3", {"La": "1", "Fe": "1", "O": "3"})
+        assert self._f("lanthanum manganite") == \
+            ("LaMnO3", {"La": "1", "Mn": "1", "O": "3"})
+
+    def test_hydrate_suffix_mirrors_first_part_composition(self):
+        # like the formula path's hydrate rule: composition is the
+        # anhydrous first part (reference composition[0].elements)
+        assert self._f("copper sulfate pentahydrate") == \
+            ("CuSO4·5H2O", {"Cu": "1", "S": "1", "O": "4"})
+
+    def test_common_name_dictionary(self):
+        assert self._f("alumina") == ("Al2O3", {"Al": "2", "O": "3"})
+        assert self._f("silica") == ("SiO2", {"Si": "1", "O": "2"})
+        assert self._f("YBCO") == \
+            ("YBa2Cu3O7", {"Y": "1", "Ba": "2", "Cu": "3", "O": "7"})
+        # dictionary beats the (wrong for covalent carbides) balance
+        assert self._f("tungsten carbide") == ("WC", {"W": "1", "C": "1"})
+
+    def test_plural_lemma_retry(self):
+        # mirrors the reference's spaCy-lemma fallback (service.py:227-241)
+        assert self._f("barium titanates") == \
+            ("BaTiO3", {"Ba": "1", "Ti": "1", "O": "3"})
+        assert self._f("lanthanum oxides") == \
+            ("La2O3", {"La": "2", "O": "3"})
+
+    def test_outside_grammar_degrades_to_empty(self):
+        assert name_to_formula("lithium iron phosphate") == {}  # 3 cations
+        assert name_to_formula("zinc ferrite") == {}  # spinel convention
+        assert name_to_formula("purple dye") == {}
+        assert name_to_formula("") == {}
