@@ -51,15 +51,92 @@ _PAGE_TEMPLATE = (
 )
 
 
+def _escape_html(col):
+    """HTML-escape a text column (&, <, > — & first), pure column expr.
+    The kernel decodes entities per text segment (kernel/web.py
+    text_segment -> unescape), so wrap -> strip round-trips exactly."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
 def wrap_turns_in_html(turns: DataFrame) -> DataFrame:
     """Replace ``text`` with the page-wrapped HTML (pure column expr).
 
-    Contract: the turn text must not contain ``<`` or ``&`` (the
-    synthetic transcript generator never emits them); a real web corpus
+    Turn text is HTML-escaped on the way in, so text containing ``<``,
+    ``>`` or ``&`` round-trips through strip exactly; a real web corpus
     arrives already as HTML and skips this wrapper entirely.
+
+    Contract the shared-golden row-identity invariant depends on: every
+    turn text must be at least MIN_BLOCK_CHARS (25) characters —
+    shorter main blocks are dropped by the multi-block classifier
+    (kernel/web.py is_content_block) and the row would silently vanish
+    from the web path. The synthetic transcript generator always emits
+    longer turns; tests/test_web_extraction.py pins the invariant.
     """
     return turns.withColumn(
-        "text", F.format_string(_PAGE_TEMPLATE, F.col("text")))
+        "text",
+        F.format_string(_PAGE_TEMPLATE, _escape_html(F.col("text"))))
+
+
+# adversarial page skeletons (messy-HTML corpus): each embeds the
+# escaped document text as the main <article> block and exercises one
+# family of parser hazards. All are deterministic column expressions —
+# the corpus is reproducible at any scale with no RNG.
+_ADVERSARIAL_TEMPLATES = (
+    # 0: escaped entities everywhere (named, numeric, literal-tag text)
+    ('<html><body><nav><a href="/">Home &amp; more</a> '
+     '<a href="/a">A&#65;B</a> <a href="/b">&quot;quoted&quot;</a></nav>'
+     '<div class="note">&lt;b&gt; &amp; &#8212; ok</div>'
+     '<article><p>%s</p></article>'
+     '<footer>&copy; 2026 All rights reserved &mdash; legal</footer>'
+     '</body></html>'),
+    # 1: stray end tags before any open, both end-tag dispatch forms
+    # (endtagfind "</ div>" and tolerant "</p ghost>"), unbalanced close
+    ('</div><html><body></p ghost>'
+     '<nav><a href="/x">Links</a> <a href="/y">More</a> '
+     '<a href="/z">Nav</a></nav>'
+     '</ div><article><p>%s</p></article></section>'
+     '<footer>Copyright notice. All rights reserved.</footer>'
+     '</body></html>'),
+    # 2: unquoted attribute values absorbing a trailing "/" (the link
+    # OPENS — not self-closing), next to a genuine self-closing <br/>
+    ('<html><body><div class="sidebar"><a href=/docs/>Docs</a> '
+     '<a href=/help/>Help</a> <a href=/more/>More</a></div>'
+     '<br/><article><p>%s</p></article>'
+     '<footer><a href=/tos/>Terms</a> rights reserved legal</footer>'
+     '</body></html>'),
+    # 3: CDATA script/style bodies with tag-like strings that must stay
+    # opaque (no block boundaries inside), tag soup in a JS string
+    ('<html><head><script>if (x < 1) { document.write('
+     '"<div>fake block</div>"); }</script>'
+     '<style>.a { content: "</span>" }</style></head>'
+     '<body><nav><a href="/1">One</a> <a href="/2">Two</a> '
+     '<a href="/3">Three</a></nav>'
+     '<article><p>%s</p></article>'
+     '<footer>Footer legal text all rights reserved</footer>'
+     '</body></html>'),
+)
+
+
+def wrap_docs_in_adversarial_html(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, template_id, text=adversarial HTML).
+
+    Round-robins the four adversarial skeletons by doc_id, embedding the
+    HTML-escaped document text as the main block. Together with the
+    frozen golden over the result, this is the corpus-scale pin that the
+    fast scanner's entity/CDATA/stray-end-tag/unquoted-attr handling
+    holds beyond unit fixtures."""
+    template_id = F.pmod(F.col("doc_id"), F.lit(len(_ADVERSARIAL_TEMPLATES)))
+    expr = F.format_string(
+        _ADVERSARIAL_TEMPLATES[0], _escape_html(F.col("text")))
+    for i in range(1, len(_ADVERSARIAL_TEMPLATES)):
+        expr = F.when(template_id == i, F.format_string(
+            _ADVERSARIAL_TEMPLATES[i], _escape_html(F.col("text")))) \
+            .otherwise(expr)
+    return docs.select(
+        "doc_id", template_id.cast("int").alias("template_id"),
+        expr.alias("text"))
 
 
 def extract_main_content(

@@ -270,6 +270,35 @@ def web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("web_adversarial_content")
+def web_adversarial_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale messy-HTML pin: documents embedded (HTML-escaped)
+    into four adversarial page skeletons — escaped entities, stray end
+    tags in both dispatch forms, unquoted-attr '/' absorption, CDATA
+    script/style bodies with tag-like strings — then stripped back to
+    main content. The frozen golden proves the fast scanner's hazard
+    handling corpus-wide, not just on unit fixtures; a unit test
+    additionally asserts the recovered main text equals the original
+    document text wherever the main block clears MIN_BLOCK_CHARS."""
+    from .pipeline.web import (
+        extract_main_content,
+        wrap_docs_in_adversarial_html,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = wrap_docs_in_adversarial_html(docs)
+    return (
+        extract_main_content(wrapped)
+        .select(
+            "doc_id", "template_id",
+            F.col("main.main_text").alias("main_text"),
+            F.col("main.n_blocks").alias("n_blocks"),
+            F.col("main.kept_blocks").alias("kept_blocks"),
+            F.col("main.dropped_chars").alias("dropped_chars"),
+        )
+    )
+
+
 @_register("web_extract_materials")
 def web_extract_materials(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full web flagship (north rule end to end): HTML-wrapped turns
@@ -2072,6 +2101,7 @@ GOLDEN_QUERIES = (
     "tagger_spans",
     "tagger_spans_matrix",
     "web_main_content",
+    "web_adversarial_content",
     "conversation_documents",
     "conversation_dedup",
 )

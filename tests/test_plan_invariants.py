@@ -18,6 +18,7 @@ PYTHON_ALLOWED = {
     "tagger_spans_matrix",
     "linking_eval", "corpus_statistics", "class_content_distribution",
     "multimodal_features", "web_main_content", "web_extract_materials",
+    "web_adversarial_content",
 }
 
 

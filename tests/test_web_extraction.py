@@ -277,3 +277,79 @@ class TestScannerFidelityRound2:
                            '<a href="/docs">Docs</a></nav>')
         assert out["text"] == ""
         assert out["kept_blocks"] == 0 and out["n_blocks"] == 1
+
+
+class TestAdversarialCorpus:
+    """Round-4 messy-HTML breadth: the wrapper now escapes turn text
+    (the no-'<'/'&' contract is gone) and a four-template adversarial
+    corpus is golden-pinned corpus-wide (web_adversarial_content)."""
+
+    DOC = "The material MgB 2 superconducts at 39 K & has x < 1 doping."
+
+    def test_templates_differential_against_reference_parser(self):
+        import html as H
+
+        from material_parsers_spark.kernel.web import html_blocks_reference
+        from material_parsers_spark.pipeline.web import (
+            _ADVERSARIAL_TEMPLATES,
+        )
+
+        escaped = H.escape(self.DOC, quote=False)
+        for template in _ADVERSARIAL_TEMPLATES:
+            page = template % escaped
+            assert html_blocks(page) == html_blocks_reference(page), template
+
+    def test_templates_round_trip_the_embedded_text(self):
+        import html as H
+
+        from material_parsers_spark.pipeline.web import (
+            _ADVERSARIAL_TEMPLATES,
+        )
+
+        escaped = H.escape(self.DOC, quote=False)
+        for template in _ADVERSARIAL_TEMPLATES:
+            out = main_content(template % escaped)
+            assert out["text"] == self.DOC, template
+            assert out["kept_blocks"] == 1
+
+    def test_wrapper_escapes_special_chars_and_round_trips(self, spark):
+        """Turn text containing <, > and & (previously outside the
+        wrapper contract) must survive wrap -> strip exactly."""
+        from material_parsers_spark.pipeline.web import (
+            extract_main_content,
+            wrap_turns_in_html,
+        )
+
+        texts = [
+            "comparing x < 1 & y > 2 in the doped LaFeAsO sample run",
+            "HTML like <b>bold</b> & entities &amp; stay literal here",
+            "a && b << c with MgB 2 superconducting at 39 K as usual",
+        ]
+        df = spark.createDataFrame(
+            [("c", i, t) for i, t in enumerate(texts)],
+            "conv_id string, turn_idx int, text string")
+        rows = extract_main_content(wrap_turns_in_html(df)) \
+            .select("turn_idx", "main.main_text").collect()
+        assert len(rows) == len(texts)
+        for row in rows:
+            assert row.main_text == texts[row.turn_idx]
+
+    def test_adversarial_corpus_recovers_document_text(self, spark):
+        """Corpus-scale: every document >= MIN_BLOCK_CHARS comes back
+        byte-identical through its adversarial page."""
+        from material_parsers_spark.kernel.web import MIN_BLOCK_CHARS
+        from material_parsers_spark.queries import SPARK_QUERIES
+
+        out = SPARK_QUERIES["web_adversarial_content"](
+            spark, "/root/testdata/sf0.001")
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet") \
+            .select("doc_id", "text")
+        joined = out.join(docs, "doc_id").collect()
+        assert len(joined) == docs.count()
+        checked = 0
+        for row in joined:
+            if len(row.text) >= MIN_BLOCK_CHARS:
+                assert row.main_text == row.text, row.doc_id
+                checked += 1
+        assert checked > 400  # the corpus genuinely exercises the pin
