@@ -357,6 +357,63 @@ def conversation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversation_documents_chunked(turns: DataFrame,
+                                   max_chars: int = 65536) -> DataFrame:
+    """Turn-range-chunked conversation materialization: the runnable
+    mitigation for truly unbounded conversations that
+    conversation_documents' docstring only advises about. Each
+    conversation is split at turn boundaries into chunks of at most
+    ``max_chars`` rendered characters (a single turn longer than the
+    knob still forms its own chunk, so the row-size bound is
+    max_chars + the longest single turn). Chunk assignment is a running
+    sum over ONE narrow (conv_id, turn_idx, line-length) window — the
+    only extra shuffle versus the unchunked path — and rendering stays
+    the same sort_array hash aggregate, now keyed (conv_id, chunk_id),
+    so a 10M-turn conversation becomes many bounded rows instead of one
+    multi-GB aggregate row. Concatenating a conversation's chunks in
+    chunk_id order reproduces the unchunked document exactly
+    (parity-tested); (turn_lo, turn_hi) carries the range lineage."""
+    line = F.concat_ws(": ", F.coalesce("role", F.lit("?")),
+                       F.coalesce("text", F.lit("")))
+    before = Window.partitionBy("conv_id").orderBy("turn_idx") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    with_chunk = (
+        turns.select("conv_id", "turn_idx",
+                     F.length(F.coalesce("text", F.lit("")))
+                     .alias("text_len"),
+                     line.alias("line"))
+        .withColumn("cum_before", F.coalesce(
+            F.sum(F.length("line") + 1).over(before), F.lit(0)))
+        .withColumn("chunk_id",
+                    (F.col("cum_before") / max_chars).cast("int"))
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("turn_idx", "line")))
+    return (
+        with_chunk.groupBy("conv_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("turn_idx").alias("turn_lo"),
+            F.max("turn_idx").alias("turn_hi"),
+            F.sum("text_len").cast("long").alias("n_chars"),
+            F.concat_ws("\n", F.transform(
+                ordered, lambda s: s.getField("line"))).alias("document"),
+        )
+        .select("conv_id", "chunk_id", "n_turns", "turn_lo", "turn_hi",
+                "n_chars", "document")
+    )
+
+
+@_register("conversation_documents_chunked")
+def conversation_documents_chunked_query(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """The chunked materialization as a registered query: max_chars
+    16384 makes the skew-tail hot conversations (~100 KB rendered at
+    sf0.01) genuinely split into multiple chunks while uniform 24-turn
+    conversations stay single-chunk. Frozen-golden oracle."""
+    return conversation_documents_chunked(
+        _turns_for(spark, sf_dir), max_chars=16384)
+
+
 def conversation_fingerprints(turns: DataFrame) -> DataFrame:
     """(conv_id, conv_hash): md5 over the JSON of the ordered
     (turn_idx, role, text) struct array. JSON framing makes the
@@ -385,6 +442,49 @@ def conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("conv_id").alias("first_conv"))
         .where(F.col("n_convs") > 1)
     )
+
+
+@_register("conversation_near_dedup")
+def conversation_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level NEAR-dup: replayed-but-EDITED sessions cluster,
+    not just byte-identical ones (conversation_dedup is exact-only).
+    The per-conversation rendered document (conversation_documents,
+    stable turn ordering) is shingled and minhashed through the same
+    banding as document LSH (_minhash_bands), band buckets emit
+    representative edges, and min-label propagation assigns every
+    clustered conversation its component's smallest conv_id.
+
+    Scale shape: identical to dedup_minhash_components — O(n) edges per
+    bucket, converge-until-stable propagation — on top of the single
+    hash aggregate that renders conversations. The DuckDB oracle
+    recomputes shingle -> minhash -> bands -> transitive closure from
+    the drift-gated conversation_documents golden fixture, so the
+    near-dup logic is verified independently end to end."""
+    rendered = conversation_documents(spark, sf_dir).select(
+        F.col("conv_id").alias("doc_id"), F.col("document").alias("text"))
+    return near_dup_conversation_clusters(rendered)
+
+
+def near_dup_conversation_clusters(rendered: DataFrame) -> DataFrame:
+    """(doc_id=conv_id, text=rendered document) -> (conv_id, cluster_id)
+    for every conversation in a near-dup component."""
+    bands = _minhash_bands(rendered)
+    reps = (
+        bands.groupBy("b", "band_key")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .drop("n")
+    )
+    edges = (
+        bands.join(reps, ["b", "band_key"])
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("a"), F.col("rep").alias("b_"))
+        .distinct()
+    )
+    labels = propagate_min_labels(edges)
+    return labels.select(
+        F.col("doc").alias("conv_id"),
+        F.col("label").alias("cluster_id"))
 
 
 @_register("layout_reading_order", """
@@ -2103,6 +2203,7 @@ GOLDEN_QUERIES = (
     "web_main_content",
     "web_adversarial_content",
     "conversation_documents",
+    "conversation_documents_chunked",
     "conversation_dedup",
 )
 
@@ -2119,3 +2220,59 @@ GOLDEN_ORACLE_FIXTURES["web_extract_materials"] = "extract_materials"
 for _name, _fixture in GOLDEN_ORACLE_FIXTURES.items():
     ORACLE_SQL[_name] = (
         f"SELECT * FROM read_parquet('{golden_path('sf0.01', _fixture)}')")
+
+# COMPUTED oracles whose INPUT is a golden fixture: DuckDB re-runs the
+# whole algorithm from the drift-gated fixture instead of comparing
+# against frozen output. The `documents` CTE shadows the parquet view,
+# so the shared shingle/minhash SQL applies unchanged to conversation
+# documents. tools/check_oracles.py re-renders {path} per scale.
+# the shared _SHINGLES_SQL re-evaluates string_split per lambda element
+# (fine on the small documents table, O(words^2) on multi-thousand-turn
+# hot conversations) — bind the split ONCE in a words CTE here
+_CONV_SHINGLES_SQL = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(words) - 2, 0)),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         AS shingles
+  FROM (SELECT conv_id AS doc_id, string_split(document, ' ') AS words
+        FROM read_parquet('{path}'))
+  WHERE len(words) >= 3
+"""
+
+_CONV_BANDS_SQL = f"""
+  SELECT doc_id, b, sig[2*b + 1] || ':' || sig[2*b + 2] AS band_key
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(0, 7), s ->
+               list_min(list_transform(shingles, x ->
+                   {_H_SQL.format(expr="x || ':' || s")}))) AS sig
+    FROM ({_CONV_SHINGLES_SQL})) sigs,
+  generate_series(0, 3) t(b)
+"""
+
+_CONV_NEAR_DEDUP_ORACLE = f"""
+WITH RECURSIVE
+bands AS ({_CONV_BANDS_SQL}),
+reps AS (SELECT b, band_key, min(doc_id) AS rep
+         FROM bands GROUP BY 1, 2 HAVING count(*) > 1),
+edges AS (SELECT DISTINCT bands.doc_id AS a, reps.rep AS b_
+          FROM bands JOIN reps USING (b, band_key)
+          WHERE bands.doc_id <> reps.rep),
+undirected AS (SELECT a, b_ FROM edges UNION SELECT b_, a FROM edges),
+nodes AS (SELECT DISTINCT a AS doc FROM undirected),
+reach(src, node) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.src, u.b_ FROM reach r JOIN undirected u ON r.node = u.a)
+SELECT src AS conv_id, min(node) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+GOLDEN_INPUT_ORACLE_TEMPLATES = {
+    "conversation_near_dedup": (_CONV_NEAR_DEDUP_ORACLE,
+                                "conversation_documents"),
+}
+for _name, (_template, _fixture) in GOLDEN_INPUT_ORACLE_TEMPLATES.items():
+    ORACLE_SQL[_name] = _template.format(
+        path=golden_path("sf0.01", _fixture))

@@ -368,3 +368,177 @@ def test_conversation_fingerprints_are_injective(spark):
            for r in conversation_fingerprints(turns).collect()}
     assert fps["a"] == fps["b"]
     assert fps["c"] != fps["a"]
+
+
+def test_conversation_near_dedup_clusters_mutated_canned_sessions(spark):
+    """Stress fixture (round-4 ask): a canned session replayed
+    byte-identically AND replayed with a few edited turns. Exact dedup
+    (conversation_fingerprints) catches only the identical replay;
+    near-dup clusters all three, while a genuinely different
+    conversation stays unclustered."""
+    from pyspark.sql import functions as F
+
+    from material_parsers_spark.queries import (
+        conversation_fingerprints,
+        near_dup_conversation_clusters,
+    )
+
+    base = [f"Turn {i}: the material MgB 2 superconducts at {20 + i} K "
+            f"in run {i} of the canned demo session." for i in range(30)]
+    mutated = list(base)
+    mutated[7] = "Turn 7: an operator EDITED this line after the replay."
+    mutated[19] = "Turn 19: and this one too, slightly."
+    other = [f"Completely unrelated conversation line {i} about weather "
+             f"patterns and {i} geese." for i in range(30)]
+
+    rows = []
+    for conv_id, texts in (("canned-a", base), ("canned-b", base),
+                           ("canned-c", mutated), ("other-x", other)):
+        for i, text in enumerate(texts):
+            rows.append((conv_id, i, "user" if i % 2 else "assistant",
+                         text, None, None))
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    # exact: only the byte-identical replay pair collides
+    fps = {r.conv_id: r.conv_hash
+           for r in conversation_fingerprints(turns).collect()}
+    assert fps["canned-a"] == fps["canned-b"]
+    assert fps["canned-c"] != fps["canned-a"]
+
+    # near-dup: rendered documents -> minhash components
+    rendered = turns.groupBy("conv_id").agg(
+        F.concat_ws("\n", F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                "turn_idx",
+                F.concat_ws(": ", "role", "text").alias("line")))),
+            lambda s: s.getField("line"))).alias("text"))
+    clusters = {r.conv_id: r.cluster_id
+                for r in near_dup_conversation_clusters(
+                    rendered.select(F.col("conv_id").alias("doc_id"),
+                                    "text")).collect()}
+    assert clusters["canned-a"] == clusters["canned-b"] \
+        == clusters["canned-c"] == "canned-a"
+    assert "other-x" not in clusters
+
+
+def test_conversation_dedup_finds_seeded_duplicates(spark):
+    """ADVICE r3: conversation_dedup's sf0.001 golden is empty, making
+    the drift gate vacuous there — this small-fixture pipeline test
+    exercises the full query path on a corpus WITH duplicates."""
+    import os
+
+    from material_parsers_spark.queries import (
+        SPARK_QUERIES,
+        clear_turns_cache,
+    )
+
+    # identical uniform conversations first recur when 24-turn blocks
+    # align across the generator's feature cycles (lcm 6300 ids, 24-
+    # aligned at 12600) — 30k turns guarantees several, the same
+    # mechanism that yields 525 dupes at sf0.01
+    os.environ["SPARK_GRAFT_TURNS"] = "30000"
+    try:
+        clear_turns_cache()
+        rows = SPARK_QUERIES["conversation_dedup"](
+            spark, "/root/testdata/sf0.001").collect()
+        assert rows, "expected seeded duplicate conversations"
+        for r in rows:
+            assert r.n_convs > 1
+    finally:
+        del os.environ["SPARK_GRAFT_TURNS"]
+        clear_turns_cache()
+
+
+def test_chunked_conversation_documents_parity_and_bounds(spark):
+    """conversation_documents_chunked: (a) with a generous knob every
+    conversation is one chunk equal to the unchunked document; (b) with
+    a small knob chunks are size-bounded and concatenate back to the
+    unchunked document in chunk_id order."""
+    from pyspark.sql import functions as F
+
+    from material_parsers_spark.queries import (
+        SPARK_QUERIES,
+        clear_turns_cache,
+        conversation_documents_chunked,
+    )
+
+    import os
+    os.environ["SPARK_GRAFT_TURNS"] = "2000"
+    try:
+        clear_turns_cache()
+        sf = "/root/testdata/sf0.001"
+        unchunked = {r.conv_id: r for r in SPARK_QUERIES[
+            "conversation_documents"](spark, sf).collect()}
+        turns = SPARK_QUERIES["conversation_documents"].__globals__[
+            "_turns_for"](spark, sf)
+
+        # (a) generous knob: exact parity
+        one = conversation_documents_chunked(turns, max_chars=10**9) \
+            .collect()
+        assert len(one) == len(unchunked)
+        for r in one:
+            assert r.chunk_id == 0
+            assert r.document == unchunked[r.conv_id].document
+            assert r.n_turns == unchunked[r.conv_id].n_turns
+            assert r.n_chars == unchunked[r.conv_id].n_chars
+
+        # (b) small knob: bounded rows that reassemble exactly
+        max_chars = 2048
+        chunks = conversation_documents_chunked(turns, max_chars=max_chars) \
+            .collect()
+        max_line = max(
+            len(f"{r.role or '?'}: {r.text or ''}")
+            for r in turns.collect())
+        by_conv: dict = {}
+        for r in chunks:
+            assert len(r.document) <= max_chars + max_line + 1, r.conv_id
+            by_conv.setdefault(r.conv_id, []).append(r)
+        assert any(len(v) > 1 for v in by_conv.values())  # genuinely split
+        for conv_id, rows in by_conv.items():
+            rows.sort(key=lambda r: r.chunk_id)
+            assert [r.chunk_id for r in rows] == list(range(len(rows)))
+            # contiguous, non-overlapping turn ranges
+            for prev, cur in zip(rows, rows[1:]):
+                assert cur.turn_lo == prev.turn_hi + 1
+            assembled = "\n".join(r.document for r in rows)
+            assert assembled == unchunked[conv_id].document, conv_id
+            assert sum(r.n_turns for r in rows) == \
+                unchunked[conv_id].n_turns
+    finally:
+        del os.environ["SPARK_GRAFT_TURNS"]
+        clear_turns_cache()
+
+
+def test_chunked_conversation_documents_pathological_conversation(spark):
+    """Stress (round-4 ask): ONE 100k-turn conversation must come back
+    as many bounded chunks — never a single multi-MB aggregate row."""
+    from pyspark.sql import functions as F
+
+    from material_parsers_spark.queries import (
+        conversation_documents_chunked,
+    )
+
+    n = 100_000
+    turns = (
+        spark.range(n)
+        .select(
+            F.lit("pathological").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+            F.concat(F.lit("step "), F.col("id"),
+                     F.lit(" of the endless agent loop run")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    max_chars = 1 << 20   # 1 MiB row bound
+    chunks = conversation_documents_chunked(turns, max_chars=max_chars) \
+        .collect()
+    assert len(chunks) > 1
+    assert all(len(r.document) <= max_chars + 128 for r in chunks)
+    assert sum(r.n_turns for r in chunks) == n
+    lo = min(r.turn_lo for r in chunks)
+    hi = max(r.turn_hi for r in chunks)
+    assert (lo, hi) == (0, n - 1)

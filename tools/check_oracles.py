@@ -69,6 +69,9 @@ def main():
         GOLDEN_ORACLE_FIXTURES,
         golden_path,
     )
+    from material_parsers_spark.queries import (
+        GOLDEN_INPUT_ORACLE_TEMPLATES,
+    )
     sf_name = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     if sf_name != "sf0.01":
         import os
@@ -76,6 +79,11 @@ def main():
             swapped = golden_path(sf_name, fixture)
             if name in oracles and os.path.exists(swapped):
                 oracles[name] = f"SELECT * FROM read_parquet('{swapped}')"
+        for name, (template, fixture) in \
+                GOLDEN_INPUT_ORACLE_TEMPLATES.items():
+            swapped = golden_path(sf_name, fixture)
+            if name in oracles and os.path.exists(swapped):
+                oracles[name] = template.format(path=swapped)
 
     failures = []
     for name, fn in spark_queries.items():
