@@ -190,15 +190,24 @@ def linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_linking(_tei_eval_corpus_df(spark))
 
 
+_TEI_CORPUS_CACHE: dict = {}
+
+
 def _tei_eval_corpus_df(spark: SparkSession) -> DataFrame:
     """Shared deterministic TEI corpus for the TEI-sourced queries,
     synthesized ON THE EXECUTORS and parsed without ever touching a
     filesystem path (cluster-safe: no driver tempdir, no shared-storage
-    assumption — the corpus is a DataFrame end to end)."""
+    assumption — the corpus is a DataFrame end to end). Cached per
+    session like `_turns_for`: four queries (and every bench rep) read
+    it, so synthesis+parse is paid once, not per call."""
     from .sources.tei import parse_tei_df, synthesize_tei_corpus_df
 
-    return parse_tei_df(
-        synthesize_tei_corpus_df(spark, n_docs=40, paragraphs_per_doc=4))
+    key = id(spark)
+    if key not in _TEI_CORPUS_CACHE:
+        _TEI_CORPUS_CACHE[key] = parse_tei_df(
+            synthesize_tei_corpus_df(
+                spark, n_docs=40, paragraphs_per_doc=4)).cache()
+    return _TEI_CORPUS_CACHE[key]
 
 
 @_register("corpus_statistics", """
