@@ -31,6 +31,9 @@ HEADLINE = [
     "conversation_documents",   # ordered per-conv materialization
     "tagger_spans",           # L1 batched-inference seam (rule payload)
     "tagger_spans_matrix",    # L1 seam, numeric payload (padded X @ W)
+    "conversation_near_dedup",  # rendered-conversation minhash components
+    "conversation_documents_chunked",  # bounded-row chunked materialization
+    "web_adversarial_content",  # messy-HTML strip (entities/CDATA/soup)
     "linking_eval",           # TEI corpus -> linker -> micro/macro report
     "dedup_minhash_lsh",      # MinHash+LSH near-dup (capped buckets)
     "dedup_minhash_components",  # representative-edge connected components
@@ -79,8 +82,20 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         return extract_ordered(_turns_for(spark_, sf_dir_),
                                include_tokens=False)
 
+    def web_extraction_job(spark_, sf_dir_):
+        # the web-flagship scaling target: wrap -> fused strip+extract,
+        # one Arrow crossing, no cache
+        from material_parsers_spark.pipeline.web import (
+            extract_materials_from_html,
+            wrap_turns_in_html,
+        )
+        from material_parsers_spark.queries import _turns_for
+        return extract_materials_from_html(
+            wrap_turns_in_html(_turns_for(spark_, sf_dir_)))
+
     runnable = dict(SPARK_QUERIES)
     runnable["extraction_job"] = extraction_job
+    runnable["web_extraction_job"] = web_extraction_job
 
     only = os.environ.get("BENCH_ONLY")
     names = [n for n in (HEADLINE if not only else only.split(","))
@@ -216,9 +231,10 @@ def run_scaling(sf_dir: str) -> None:
             # vanish at production scale) don't dominate the ratio
             env["SPARK_GRAFT_TURNS"] = \
                 os.environ.get("SPARK_GRAFT_TURNS", "1200000")
-            # flagship only: with the shared extraction cache the other
-            # extract_* queries are cache reads, not jobs worth scaling
-            env["BENCH_ONLY"] = "extraction_job"
+            # flagships only: with the shared extraction cache the other
+            # extract_* queries are cache reads, not jobs worth scaling.
+            # Both the direct and the web flagship scale (r3 VERDICT ask).
+            env["BENCH_ONLY"] = "extraction_job,web_extraction_job"
             # pin each level to its fair CPU budget (2 CPUs per task slot:
             # one JVM task thread + one Python worker). Without pinning the
             # small run borrows the host's idle cores for JVM-side work —
@@ -245,8 +261,12 @@ def run_scaling(sf_dir: str) -> None:
     t_lo = best(lo, "extraction_job")
     t_hi = best(hi, "extraction_job")
     efficiency = round((t_lo / t_hi) / 4, 3)
+    t_lo_web = best(lo, "web_extraction_job")
+    t_hi_web = best(hi, "web_extraction_job")
+    efficiency_web = round((t_lo_web / t_hi_web) / 4, 3)
     ceiling = host_ceiling(2 * lo, 2 * hi)
     normalized = round(min(efficiency / ceiling, 1.0), 3)
+    normalized_web = round(min(efficiency_web / ceiling, 1.0), 3)
     total_eff = round(
         (min(s["value"] for s in samples[lo])
          / min(s["value"] for s in samples[hi])) / 4, 3)
@@ -273,12 +293,15 @@ cores the way a real cluster executor cannot).
 | metric | local[{lo}] | local[{hi}] |
 |---|---|---|
 | flagship extraction job (scan -> Arrow UDF -> project, no cache) sec | {t_lo} | {t_hi} |
+| web flagship (wrap -> fused strip+extract, no cache) sec | {t_lo_web} | {t_hi_web} |
 | flagship turns/sec | {results[lo]['turns_per_sec']} | {results[hi]['turns_per_sec']} |
 | headline suite total sec | {results[lo]['value']} | {results[hi]['value']} |
 
 **Scaling efficiency (N -> 4N) = (T_N / T_4N) / 4:**
 
 - flagship extraction, raw wall-clock: **{efficiency}**
+- web flagship, raw wall-clock: **{efficiency_web}**
+  (host-normalized: {normalized_web})
 - host ceiling at the same busy-CPU counts (pure-Python busy loop, no
   Spark — shared-VM frequency scaling/steal measured IN THIS RUN):
   {ceiling}
@@ -308,10 +331,13 @@ Per-query timings:
             fh.write(f"| {name} | {results[lo]['queries'][name]} "
                      f"| {results[hi]['queries'][name]} |\n")
     print(json.dumps({"scaling_efficiency": efficiency,
+                      "scaling_efficiency_web": efficiency_web,
                       "host_ceiling": ceiling,
                       "scaling_efficiency_normalized": normalized,
+                      "scaling_efficiency_web_normalized": normalized_web,
                       "suite_efficiency": total_eff,
-                      "t_lo": t_lo, "t_hi": t_hi}))
+                      "t_lo": t_lo, "t_hi": t_hi,
+                      "t_lo_web": t_lo_web, "t_hi_web": t_hi_web}))
 
 
 if __name__ == "__main__":
