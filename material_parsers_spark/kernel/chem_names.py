@@ -151,6 +151,13 @@ COMMON_NAMES: Dict[str, Tuple[str, Dict[str, int]]] = {
     # covalent compounds whose conventional formula is NOT the ionic
     # charge balance — dictionary wins over the grammar
     "tungsten carbide": ("WC", {"W": 1, "C": 1}),
+    # common names that ELIDE the cation's multiplicative prefix
+    # (strictly "diphosphorus pentoxide" etc.) — the molecular-prefix
+    # grammar reads the absent prefix as mono, so these must be pinned
+    "phosphorus pentoxide": ("P2O5", {"P": 2, "O": 5}),
+    "arsenic trioxide": ("As2O3", {"As": 2, "O": 3}),
+    "nitric oxide": ("NO", {"N": 1, "O": 1}),
+    "nitrous oxide": ("N2O", {"N": 2, "O": 1}),
 }
 
 
@@ -179,12 +186,15 @@ def _split_prefix(word: str, vocabulary: Dict) -> Tuple[int, str]:
     return 0, word
 
 
-def _parse_cation(word: str) -> Optional[Tuple[str, int, int]]:
-    """Cation word -> (element, charge, explicit_count).
+def _parse_cation(word: str) -> Optional[Tuple[str, Optional[int], int]]:
+    """Cation word -> (element, charge-or-None, explicit_count).
 
     Accepts element names ('lanthanum'), classical adjectives
     ('ferric'), multiplicative prefixes ('dinitrogen'), and trailing
-    Roman-numeral states glued by the tokenizer ('iron(iii)')."""
+    Roman-numeral states glued by the tokenizer ('iron(iii)'). A
+    missing oxidation state is NOT an error here — molecular prefix
+    names ('sulfur hexafluoride') never consult the charge; the
+    charge-balance path rejects charge=None itself."""
     count = 0
     charge = None
     if "(" in word and word.endswith(")"):
@@ -202,8 +212,6 @@ def _parse_cation(word: str) -> Optional[Tuple[str, int, int]]:
     element = ELEMENT_NAMES[word]
     if charge is None:
         charge = CATION_CHARGES.get(element)
-    if charge is None:
-        return None
     return element, charge, count
 
 
@@ -250,7 +258,7 @@ def parse_chemical_name(name: str) -> Optional[dict]:
         unit, an_charge = ANIONS_POLY[anion_word]
     elif anion_word in TERNARY_ATE and anion_count == 0:
         b_metal = TERNARY_ATE[anion_word]
-        if charge + TERNARY_B_CHARGE[b_metal] != 6:
+        if charge is None or charge + TERNARY_B_CHARGE[b_metal] != 6:
             # only true ABO3 combinations (A + B = +6) are in grammar;
             # spinel-convention names like "zinc ferrite" (ZnFe2O4)
             # must degrade to no-parse, not a wrong balanced formula
@@ -261,9 +269,16 @@ def parse_chemical_name(name: str) -> Optional[dict]:
         return None
 
     if explicit_cat or anion_count:
-        # explicit multiplicative prefixes override charge balance
+        # molecular nomenclature: explicit multiplicative prefixes give
+        # the exact counts (absent cation prefix = mono) and the
+        # oxidation state is never consulted — 'sulfur hexafluoride'
+        # parses with no CATION_CHARGES entry for S
         n_cat = explicit_cat or 1
         n_an = anion_count or 1
+    elif charge is None:
+        # no prefixes and no known oxidation state: cannot balance —
+        # degrade to no-parse rather than guess
+        return None
     else:
         g = gcd(charge, -an_charge)
         n_cat, n_an = (-an_charge) // g, charge // g

@@ -21,6 +21,7 @@ from typing import List, Tuple
 
 from .elements import ELEMENT_SET
 from .formulas import parse_composition
+from .tokenizer import WHITESPACE_TOKENS
 
 TC_KEYWORDS = {"superconducts", "superconductivity", "superconducting",
                "superconductive", "superconductor"}
@@ -57,7 +58,7 @@ def tag_spans(tokens: List[str], offsets: List[Tuple[int, int]],
     n = len(tokens)
 
     def nonspace_indices():
-        return [i for i in range(n) if tokens[i] not in (" ", "\t", "\n", " ")]
+        return [i for i in range(n) if tokens[i] not in WHITESPACE_TOKENS]
 
     def add(type_: str, tok_start: int, tok_end: int) -> None:
         start_char = offsets[tok_start][0]

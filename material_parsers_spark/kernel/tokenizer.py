@@ -31,6 +31,11 @@ PATTERN = re.compile("(" + _DELIM_ALTERNATION + "|" + _SECOND_STEP + ")")
 
 BLANKS = " \t\n"
 
+# canonical whitespace-token set for stages that filter blanks out of the
+# delimiter-retaining stream (rule tagger, matrix tagger): every
+# whitespace char the DELIMITERS above emit as standalone tokens
+WHITESPACE_TOKENS = frozenset({" ", "\t", "\n", "\r", "\f", " "})
+
 
 def tokenize(text: str) -> Tuple[List[str], List[Tuple[int, int]]]:
     """Split ``text`` into tokens, keeping delimiters, with char offsets.

@@ -26,7 +26,8 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from ..kernel.tagger import TC_KEYWORDS, _is_formula_token
+from ..kernel.tagger import _is_formula_token
+from ..kernel.tokenizer import WHITESPACE_TOKENS
 
 # label inventory: a deliberately small BIO space — enough to cover the
 # two span families whose detection is expressible as a windowed linear
@@ -35,11 +36,9 @@ from ..kernel.tagger import TC_KEYWORDS, _is_formula_token
 LABELS = ("O", "B-<formula>", "I-<formula>", "B-<tcValue>", "I-<tcValue>")
 _O, _BF, _IF, _BT, _IT = range(5)
 
-N_FEATURES = 6
+N_FEATURES = 4
 WINDOW = 2                      # ±2 filtered positions
 _SLOTS = 2 * WINDOW + 1
-
-_WHITESPACE = (" ", "\t", "\n", " ")
 
 _NUMBER_CHARS = set("0123456789.")
 
@@ -47,9 +46,11 @@ _NUMBER_CHARS = set("0123456789.")
 def featurize(tokens: Sequence[str]) -> np.ndarray:
     """Per-token indicator features, (n, N_FEATURES) float32.
 
-    f0 bias, f1 formula-shaped, f2 number, f3 Tc keyword, f4 kelvin
-    unit token, f5 capitalized word. Pure per-token — all context
-    enters through the window stacking in :func:`matrix_payload`."""
+    f0 bias, f1 formula-shaped, f2 number, f3 kelvin unit token. Pure
+    per-token — all context enters through the window stacking in
+    :func:`matrix_payload`. Every feature carries weight in
+    :func:`weights`; anything the model cannot use stays out of the
+    per-token hot loop."""
     out = np.zeros((len(tokens), N_FEATURES), dtype=np.float32)
     for i, tok in enumerate(tokens):
         out[i, 0] = 1.0
@@ -57,12 +58,8 @@ def featurize(tokens: Sequence[str]) -> np.ndarray:
             out[i, 1] = 1.0
         if tok and not set(tok) - _NUMBER_CHARS and tok != ".":
             out[i, 2] = 1.0
-        if tok.lower() in TC_KEYWORDS:
-            out[i, 3] = 1.0
         if tok == "K":
-            out[i, 4] = 1.0
-        if len(tok) >= 3 and tok[0].isupper() and tok[1:].islower():
-            out[i, 5] = 1.0
+            out[i, 3] = 1.0
     return out
 
 
@@ -84,8 +81,8 @@ def weights() -> np.ndarray:
     w[at(0, 2), _IF] = 4.0           # trailing stoichiometry digits:
     w[at(-1, 1), _IF] = 4.0          #   number right after a formula
     w[at(0, 2), _BT] = 4.0           # Tc value: number followed by K
-    w[at(1, 4), _BT] = 4.5           #   (4+4.5 beats I-<formula>'s 8)
-    w[at(0, 4), _IT] = 4.0           # the K unit itself continues the
+    w[at(1, 3), _BT] = 4.5           #   (4+4.5 beats I-<formula>'s 8)
+    w[at(0, 3), _IT] = 4.0           # the K unit itself continues the
     w[at(-1, 2), _IT] = 4.5          #   value span after a number
     return w
 
@@ -136,14 +133,16 @@ def matrix_payload(
     """Tag a batch of sequences with ONE padded tensor forward pass.
 
     Mirrors a batched ``model.tag``: filter whitespace (T2, as the
-    reference does before its model), featurize, pad to the batch's max
-    length, stack the ±WINDOW context into (B, T, _SLOTS*F), score all
-    tokens with a single ``X @ W`` matmul, argmax under the padding
-    mask, then decode BIO per sequence back to unfiltered-token and
-    char offsets."""
+    reference does before its model — the shared WHITESPACE_TOKENS set,
+    so CRLF text filters identically everywhere), featurize, pad to the
+    batch's max length, stack the ±WINDOW context into (B, T, _SLOTS*F),
+    score all tokens with a single ``X @ W`` matmul, argmax under the
+    padding mask, then decode BIO per sequence back to unfiltered-token
+    and char offsets."""
     filtered: List[Tuple[List[str], List[int]]] = []
     for tokens, _offsets, _text in batch:
-        keep = [i for i, t in enumerate(tokens) if t not in _WHITESPACE]
+        keep = [i for i, t in enumerate(tokens)
+                if t not in WHITESPACE_TOKENS]
         filtered.append(([tokens[i] for i in keep], keep))
 
     if not filtered:

@@ -64,8 +64,13 @@ def wrap_turns_in_html(turns: DataFrame) -> DataFrame:
     """Replace ``text`` with the page-wrapped HTML (pure column expr).
 
     Turn text is HTML-escaped on the way in, so text containing ``<``,
-    ``>`` or ``&`` round-trips through strip exactly; a real web corpus
-    arrives already as HTML and skips this wrapper entirely.
+    ``>`` or ``&`` round-trips through strip exactly — PROVIDED the text
+    is single-spaced with no newlines: the kernel collapses whitespace
+    runs per text segment (kernel/web.py ``_WS``, the normalization the
+    block classifier applies to all web text), so ``"a  b"`` or a
+    ``\\n`` comes back as one space. The synthetic generator emits only
+    single-spaced single-line turns; a real web corpus arrives already
+    as HTML and skips this wrapper entirely.
 
     Contract the shared-golden row-identity invariant depends on: every
     turn text must be at least MIN_BLOCK_CHARS (25) characters —

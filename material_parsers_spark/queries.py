@@ -202,7 +202,9 @@ def _tei_eval_corpus_df(spark: SparkSession) -> DataFrame:
     it, so synthesis+parse is paid once, not per call."""
     from .sources.tei import parse_tei_df, synthesize_tei_corpus_df
 
-    key = id(spark)
+    # applicationId makes the key collision-proof against a stopped
+    # session whose id() address is reused by a new one
+    key = (id(spark), spark.sparkContext.applicationId)
     if key not in _TEI_CORPUS_CACHE:
         _TEI_CORPUS_CACHE[key] = parse_tei_df(
             synthesize_tei_corpus_df(
@@ -386,6 +388,13 @@ def conversation_documents_chunked(turns: DataFrame,
                        F.coalesce("text", F.lit("")))
     before = Window.partitionBy("conv_id").orderBy("turn_idx") \
         .rowsBetween(Window.unboundedPreceding, -1)
+    # chunk ids are made DENSE per conversation (dense_rank over the raw
+    # offset-derived bucket): a single turn longer than max_chars skips
+    # raw buckets, and consumers paginating by chunk_id must not see
+    # gaps on exactly the skewed conversations this variant exists for.
+    # Both windows share the (conv_id, turn_idx) sort, so this is still
+    # ONE shuffle.
+    dense = Window.partitionBy("conv_id").orderBy("raw_chunk")
     with_chunk = (
         turns.select("conv_id", "turn_idx",
                      F.length(F.coalesce("text", F.lit("")))
@@ -393,8 +402,10 @@ def conversation_documents_chunked(turns: DataFrame,
                      line.alias("line"))
         .withColumn("cum_before", F.coalesce(
             F.sum(F.length("line") + 1).over(before), F.lit(0)))
-        .withColumn("chunk_id",
+        .withColumn("raw_chunk",
                     (F.col("cum_before") / max_chars).cast("int"))
+        .withColumn("chunk_id",
+                    (F.dense_rank().over(dense) - 1).cast("int"))
     )
     ordered = F.sort_array(F.collect_list(F.struct("turn_idx", "line")))
     return (
@@ -1751,14 +1762,15 @@ def pq_encode(emb: DataFrame, codebook: list) -> DataFrame:
     code, matching the oracle's `ORDER BY subdist ASC, code ASC`.
     Returns (vec_id, m, code) via one posexplode of the codes array.
 
-    `codebook` is the collected rows _PQ_LO..PQ_HI sorted by vec_id;
-    codeword c of subvector m is row c's dims [m*8, m*8+8)."""
+    `codebook` is the list of the 16 codeword vectors in code order
+    (collected from the same cb frame ADC broadcasts); codeword c of
+    subvector m is vector c's dims [m*8, m*8+8)."""
     code_cols = []
     for m in range(_PQ_M):
         structs = ", ".join(
-            f"named_struct('d', {_pq_subdist_literal_sql(m, list(row.embedding)[m * _PQ_DSUB:(m + 1) * _PQ_DSUB])}, "
+            f"named_struct('d', {_pq_subdist_literal_sql(m, list(vec)[m * _PQ_DSUB:(m + 1) * _PQ_DSUB])}, "
             f"'c', {c})"
-            for c, row in enumerate(codebook))
+            for c, vec in enumerate(codebook))
         code_cols.append(
             f"array_sort(array({structs}), (l, r) -> "
             "CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1 "
@@ -1818,11 +1830,11 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("vec_id") < _PQ_HI))
           .select((F.col("vec_id") - _PQ_LO).cast("int").alias("code"),
                   F.col("embedding").alias("cb_vec")))
-    codebook = sorted(
-        emb.where((F.col("vec_id") >= _PQ_LO)
-                  & (F.col("vec_id") < _PQ_HI))
-        .select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id)
+    # ONE codebook definition: the encode literals are collected from the
+    # same cb frame the ADC join broadcasts, so the two phases can never
+    # drift onto different codebooks
+    codebook = [r.cb_vec for r in
+                sorted(cb.collect(), key=lambda r: r.code)]
 
     def subdist(a, b):
         # left-fold in dim order == the oracle's list_reduce
@@ -2177,10 +2189,14 @@ def clear_extraction_cache() -> None:
 def clear_turns_cache() -> None:
     """Unpersist and evict the cached synthetic turns frames (tests use
     this after overriding SPARK_GRAFT_TURNS so cached blocks don't leak
-    in a shared session)."""
+    in a shared session). Also covers the TEI eval-corpus cache so a
+    long-lived driver can release every cached block this module owns."""
     for frame in _TURNS_CACHE.values():
         frame.unpersist()
     _TURNS_CACHE.clear()
+    for frame in _TEI_CORPUS_CACHE.values():
+        frame.unpersist()
+    _TEI_CORPUS_CACHE.clear()
 
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,14 @@ def test_matrix_payload_batches_cross_turn_boundaries(spark):
         tokens, offsets = tokenize(text)
         [expected] = matrix_payload([(tokens, offsets, text)])
         assert [s.asDict() for s in row.tagged_spans] == expected
+
+
+def test_matrix_payload_filters_crlf_like_the_shared_whitespace_set():
+    """CRLF text: '\\r' tokens must be filtered exactly like spaces (the
+    shared WHITESPACE_TOKENS set), so '39\\r\\nK' still tags a tcValue."""
+    from material_parsers_spark.pipeline.matrix_tagger import matrix_payload
+
+    text = "MgB 2 superconducts at 39\r\nK in this batch."
+    [spans] = _spans(matrix_payload, text)
+    assert ("39\r\nK", "<tcValue>") in [(s["text"], s["type"])
+                                        for s in spans]

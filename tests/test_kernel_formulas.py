@@ -228,3 +228,32 @@ class TestChemicalNameGrammar:
         assert name_to_formula("zinc ferrite") == {}  # spinel convention
         assert name_to_formula("purple dye") == {}
         assert name_to_formula("") == {}
+
+    def test_molecular_prefix_names_without_oxidation_entries(self):
+        # explicit anion prefixes are molecular nomenclature: counts come
+        # from the prefixes, the oxidation state is never consulted — so
+        # S/Se/Os/Cl need no CATION_CHARGES entry
+        assert self._f("sulfur dioxide") == ("SO2", {"S": "1", "O": "2"})
+        assert self._f("sulfur hexafluoride") == \
+            ("SF6", {"S": "1", "F": "6"})
+        assert self._f("selenium dioxide") == \
+            ("SeO2", {"Se": "1", "O": "2"})
+        assert self._f("osmium tetroxide") == \
+            ("OsO4", {"Os": "1", "O": "4"})
+        assert self._f("chlorine dioxide") == \
+            ("ClO2", {"Cl": "1", "O": "2"})
+
+    def test_elided_cation_prefix_names_are_pinned_by_dictionary(self):
+        # common names that drop the cation's "di" — the grammar would
+        # read mono and emit a wrong formula, so the dictionary wins
+        assert self._f("phosphorus pentoxide") == \
+            ("P2O5", {"P": "2", "O": "5"})
+        assert self._f("arsenic trioxide") == \
+            ("As2O3", {"As": "2", "O": "3"})
+        assert self._f("nitric oxide") == ("NO", {"N": "1", "O": "1"})
+
+    def test_unknown_charge_without_prefixes_degrades(self):
+        # no prefixes and no oxidation entry: cannot balance — no-parse,
+        # never a guessed formula
+        assert name_to_formula("osmium oxide") == {}
+        assert name_to_formula("xenon fluoride") == {}

@@ -542,3 +542,34 @@ def test_chunked_conversation_documents_pathological_conversation(spark):
     lo = min(r.turn_lo for r in chunks)
     hi = max(r.turn_hi for r in chunks)
     assert (lo, hi) == (0, n - 1)
+
+
+def test_chunked_conversation_documents_dense_ids_across_giant_turn(spark):
+    """A single turn longer than max_chars skips raw offset buckets;
+    chunk_id must still be DENSE (0..n-1) so pagination by chunk_id
+    never misses chunks on exactly the skewed conversations."""
+    from pyspark.sql import functions as F
+
+    from material_parsers_spark.queries import (
+        conversation_documents_chunked,
+    )
+
+    texts = ["short opening turn", "x" * 50_000, "short closing turn",
+             "another short turn to land in the last chunk"]
+    rows = [("conv-g", i, "user", t, None, None)
+            for i, t in enumerate(texts)]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    chunks = sorted(
+        conversation_documents_chunked(turns, max_chars=16384).collect(),
+        key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in chunks] == list(range(len(chunks)))
+    assert len(chunks) >= 2
+    # the documented row bound: max_chars + the longest single turn
+    assert all(len(r.document) <= 16384 + 50_000 + 64 for r in chunks)
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert cur.turn_lo == prev.turn_hi + 1
+    assembled = "\n".join(r.document for r in chunks)
+    expected = "\n".join(f"user: {t}" for t in texts)
+    assert assembled == expected

@@ -51,11 +51,11 @@ def test_pq_encode_is_a_zero_shuffle_projection(spark):
     from material_parsers_spark import queries as q
 
     emb = q._read(spark, SF_DIR, "embeddings")
-    codebook = sorted(
+    codebook = [r.embedding for r in sorted(
         emb.where((F.col("vec_id") >= q._PQ_LO)
                   & (F.col("vec_id") < q._PQ_HI))
         .select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id)
+        key=lambda r: r.vec_id)]
     plan = q.pq_encode(emb, codebook) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
