@@ -69,8 +69,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # per-executor constant and amortize to zero on a long-running cluster —
     # including them would measure worker spawn, not the pipeline.
     SPARK_QUERIES["stable_ordering"](spark, sf_dir).limit(1).collect()
-    from material_parsers_spark.queries import _turns_for
+    from material_parsers_spark.queries import _tei_eval_corpus_df, _turns_for
     _turns_for(spark, sf_dir).count()
+    _tei_eval_corpus_df(spark).count()   # fill the TEI eval-corpus cache
     materialize(SPARK_QUERIES["extract_materials"](spark, sf_dir))
 
     def extraction_job(spark_, sf_dir_):

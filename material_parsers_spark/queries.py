@@ -485,10 +485,55 @@ def conversation_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_conversation_clusters(rendered)
 
 
+def _minhash_bands_exploded(docs: DataFrame) -> DataFrame:
+    """Skew-safe minhash banding for documents whose SHINGLE COUNTS are
+    heavy-tailed (rendered conversations: the hot-conversation tail is
+    ~200k shingles while the median is ~250).
+
+    `_minhash_bands` computes each signature as one array expression per
+    row — perfect for uniform documents, but a giant document is one
+    task, so the md5 sweep of the tail SERIALIZES (observed: 4 hot
+    conversations dominated the whole query). Here shingles are exploded
+    to rows first, spread evenly (round-robin repartition — deliberately
+    NOT by doc_id), hashed, and min-reduced per (doc, seed) by a hash
+    aggregate whose map-side partial min does almost all the work before
+    the (tiny) shuffle. Identical output to `_minhash_bands` — same
+    hashes, same mins, same band keys — so oracles are unchanged."""
+    spark = docs.sparkSession
+    # round-robin repartition AFTER the explode: the md5 sweep of the
+    # skew tail (a hot conversation's ~10^5 shingles) spreads across the
+    # cluster instead of serializing on the hot docs' tasks
+    exploded = (
+        _shingles_df(docs)
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .repartition(4 * spark.sparkContext.defaultParallelism)
+    )
+    mins = exploded.groupBy("doc_id").agg(*[
+        F.min(F.conv(
+            F.substring(F.md5(F.concat(
+                F.col("sh"), F.lit(f":{s}"))), 1, 15),
+            16, 10).cast("long")).alias(f"h{s}")
+        for s in range(8)])
+    bands = mins.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.concat_ws(":",
+                            F.col(f"h{2 * b}").cast("string"),
+                            F.col(f"h{2 * b + 1}").cast("string"))
+                .alias("band_key"))
+            for b in range(4)])).alias("bb"))
+    return bands.select("doc_id", F.col("bb.b").alias("b"),
+                        F.col("bb.band_key").alias("band_key"))
+
+
 def near_dup_conversation_clusters(rendered: DataFrame) -> DataFrame:
     """(doc_id=conv_id, text=rendered document) -> (conv_id, cluster_id)
-    for every conversation in a near-dup component."""
-    bands = _minhash_bands(rendered)
+    for every conversation in a near-dup component. Bands are consumed
+    twice (bucket reps + the member join) — localCheckpoint materializes
+    them once instead of re-rendering and re-hashing the corpus."""
+    bands = _minhash_bands_exploded(rendered).localCheckpoint()
     reps = (
         bands.groupBy("b", "band_key")
         .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
@@ -1004,16 +1049,26 @@ _SHINGLES_SQL = """
 
 
 def _shingles_df(docs: DataFrame) -> DataFrame:
-    # bind the split once as a column: referencing F.split(...) inside the
-    # transform lambda would re-tokenize the text per element (O(words^2))
+    # CRITICAL SHAPE: no lambda may reference the `words` column. Binding
+    # the split as a named column is NOT enough — CollapseProject inlines
+    # `split(text)` into higher-order-function lambdas, and HOF lambda
+    # bodies evaluate INTERPRETED per element, so `element_at(words, i)`
+    # inside a transform re-splits the whole text per shingle: O(words^2),
+    # minutes for ONE ~1 MB rendered hot conversation (proven by jstack:
+    # StringSplit.nullSafeEval inside ConcatWs.eval). zip_with over three
+    # shifted slices keeps every lambda argument-bound — the split is
+    # evaluated a constant number of times per ROW regardless of what
+    # Catalyst collapses. Shingle order (and therefore array_distinct's
+    # first-occurrence semantics) is identical to the old transform, so
+    # every oracle is unchanged.
     words = F.col("words")
-    shingles = F.array_distinct(F.transform(
-        F.sequence(F.lit(0),
-                   F.greatest(F.size(words) - 3, F.lit(-1))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
-            F.element_at(words, i + 3)),
-    ))
+    n = F.size(words)
+    s1 = F.slice(words, 1, n - 2)
+    s2 = F.slice(words, 2, n - 2)
+    s3 = F.slice(words, 3, n - 2)
+    pairs = F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b))
+    shingles = F.array_distinct(
+        F.zip_with(pairs, s3, lambda ab, c: F.concat_ws(" ", ab, c)))
     return (docs.select("doc_id", F.split("text", " ").alias("words"))
             .where(F.size(words) >= 3)
             .select("doc_id", shingles.alias("shingles")))
