@@ -38,8 +38,14 @@ DEFAULT_SPACE_GROUPS = [
     {"name": "Pnma", "type": "orthorhombic"},
 ]
 
-_RESOURCES = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                          "resources")
+def _read_resource(name: str) -> str:
+    """Zip-safe resource read: a spark-submit --py-files deployment
+    imports this package from a zip, where __file__-relative open()
+    fails — importlib.resources reads through the zip importer."""
+    from importlib import resources
+
+    return (resources.files("material_parsers_spark")
+            .joinpath("resources", name).read_text())
 
 
 def build_default_patterns() -> list:
@@ -49,10 +55,8 @@ def build_default_patterns() -> list:
 
 @lru_cache(maxsize=1)
 def _full_patterns_cached() -> tuple:
-    with open(os.path.join(_RESOURCES, "space_groups.json")) as fh:
-        space_groups = json.load(fh)
-    with open(os.path.join(_RESOURCES, "crystal_structures.json")) as fh:
-        crystal = json.load(fh)
+    space_groups = json.loads(_read_resource("space_groups.json"))
+    crystal = json.loads(_read_resource("crystal_structures.json"))
     patterns = (
         crystal_structure_patterns([i.get("name", "") for i in crystal])
         + space_group_patterns(space_groups)
