@@ -328,9 +328,13 @@ Per-query timings:
 | query | local[{lo}] s | local[{hi}] s |
 |---|---|---|
 """)
+        # per-LEVEL minima, consistent with the headline rows and the
+        # stated noise methodology (results[] holds only the round that
+        # minimized the extraction flagship, which can carry a
+        # non-minimum sample for other queries)
         for name in results[lo]["queries"]:
-            fh.write(f"| {name} | {results[lo]['queries'][name]} "
-                     f"| {results[hi]['queries'][name]} |\n")
+            fh.write(f"| {name} | {best(lo, name)} "
+                     f"| {best(hi, name)} |\n")
     print(json.dumps({"scaling_efficiency": efficiency,
                       "scaling_efficiency_web": efficiency_web,
                       "host_ceiling": ceiling,

@@ -115,6 +115,19 @@ TERNARY_B_CHARGE: Dict[str, int] = {
     "Ga": 3, "Ru": 4, "Ce": 4,
 }
 
+# maximum common covalent valence, used to sanity-check molecular
+# prefix names: "iodine pentoxide" read as mono would put iodine at
+# valence 10 (> 7), so the conventional dimeric reading I2O5 applies;
+# "sulfur trioxide" at valence 6 is fine as SO3. Elements absent here
+# keep the plain mono reading.
+MAX_VALENCE: Dict[str, int] = {
+    "H": 1, "F": 1, "B": 3, "C": 4, "Si": 4, "Ge": 4,
+    "N": 5, "P": 5, "As": 5, "Sb": 5, "Bi": 5,
+    "S": 6, "Se": 6, "Te": 6,
+    "Cl": 7, "Br": 7, "I": 7,
+    "Os": 8, "Ru": 8, "Xe": 8,
+}
+
 MULTIPLIER_PREFIXES = {
     "mono": 1, "mon": 1, "di": 2, "tri": 3, "tetra": 4, "tetr": 4,
     "penta": 5, "pent": 5, "hexa": 6, "hex": 6, "hepta": 7, "hept": 7,
@@ -275,6 +288,20 @@ def parse_chemical_name(name: str) -> Optional[dict]:
         # parses with no CATION_CHARGES entry for S
         n_cat = explicit_cat or 1
         n_an = anion_count or 1
+        if (not explicit_cat and anion_count and anion_word in ANIONS_IDE
+                and element in MAX_VALENCE):
+            # elided-cation-prefix guard: the mono reading implies a
+            # cation valence of n_an * |anion bonds|; if that exceeds
+            # the element's maximum, the conventional name is the dimer
+            # ('iodine pentoxide' -> I2O5, valence 5), and if even the
+            # dimeric valence is impossible, degrade to no-parse
+            implied = n_an * (-an_charge)
+            if implied > MAX_VALENCE[element]:
+                if implied % 2 == 0 and \
+                        implied // 2 <= MAX_VALENCE[element]:
+                    n_cat = 2
+                else:
+                    return None
     elif charge is None:
         # no prefixes and no known oxidation state: cannot balance —
         # degrade to no-parse rather than guess

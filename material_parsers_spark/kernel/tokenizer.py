@@ -31,9 +31,13 @@ PATTERN = re.compile("(" + _DELIM_ALTERNATION + "|" + _SECOND_STEP + ")")
 
 BLANKS = " \t\n"
 
-# canonical whitespace-token set for stages that filter blanks out of the
-# delimiter-retaining stream (rule tagger, matrix tagger): every
-# whitespace char the DELIMITERS above emit as standalone tokens
+# shared whitespace-token set for OUR tagger stages (rule tagger, matrix
+# tagger): every whitespace char the DELIMITERS above emit as standalone
+# tokens. Deliberately broader than BLANKS: BLANKS mirrors the
+# reference's T2 filter exactly (grobid_tokenizer.py:17 `blanks =
+# ' \t\n'`) and must stay that way for parity in tokenize_and_filter /
+# kernel/turns.py; the taggers are our own stand-ins with no reference
+# counterpart, so they use the complete set.
 WHITESPACE_TOKENS = frozenset({" ", "\t", "\n", "\r", "\f", " "})
 
 

@@ -132,9 +132,11 @@ def matrix_payload(
 ) -> List[List[dict]]:
     """Tag a batch of sequences with ONE padded tensor forward pass.
 
-    Mirrors a batched ``model.tag``: filter whitespace (T2, as the
-    reference does before its model — the shared WHITESPACE_TOKENS set,
-    so CRLF text filters identically everywhere), featurize, pad to the
+    Mirrors a batched ``model.tag``: filter whitespace (as the reference
+    does before its model — the WHITESPACE_TOKENS set shared with the
+    rule tagger, so CRLF text filters identically across BOTH tagger
+    payloads; the gazetteer/turns T2 path keeps the reference's narrower
+    BLANKS for parity), featurize, pad to the
     batch's max length, stack the ±WINDOW context into (B, T, _SLOTS*F),
     score all tokens with a single ``X @ W`` matmul, argmax under the
     padding mask, then decode BIO per sequence back to unfiltered-token

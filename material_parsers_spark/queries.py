@@ -65,7 +65,9 @@ def _turns_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sf_dir.rstrip("/").endswith(key):
             n = value
     n = int(os.environ.get("SPARK_GRAFT_TURNS", n))
-    key = (id(spark), n)
+    # applicationId makes the key collision-proof against a stopped
+    # session whose id() address is reused by a new one
+    key = (id(spark), spark.sparkContext.applicationId, n)
     if key not in _TURNS_CACHE:
         # >= 4 waves per task slot: with coarse partitions a single
         # straggler task (host CPU steal) stretches the whole last wave;
@@ -84,7 +86,7 @@ def _extracted_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the suite pays it once, exactly like `_turns_for` caches input."""
     from .pipeline.extraction import extract_ordered
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir)
     if key not in _EXTRACTED_CACHE:
         _EXTRACTED_CACHE[key] = extract_ordered(
             _turns_for(spark, sf_dir), include_tokens=False).cache()
@@ -509,10 +511,7 @@ def _minhash_bands_exploded(docs: DataFrame) -> DataFrame:
         .repartition(4 * spark.sparkContext.defaultParallelism)
     )
     mins = exploded.groupBy("doc_id").agg(*[
-        F.min(F.conv(
-            F.substring(F.md5(F.concat(
-                F.col("sh"), F.lit(f":{s}"))), 1, 15),
-            16, 10).cast("long")).alias(f"h{s}")
+        F.min(_h(F.concat(F.col("sh"), F.lit(f":{s}")))).alias(f"h{s}")
         for s in range(8)])
     bands = mins.select(
         "doc_id",
@@ -2244,14 +2243,18 @@ def clear_extraction_cache() -> None:
 def clear_turns_cache() -> None:
     """Unpersist and evict the cached synthetic turns frames (tests use
     this after overriding SPARK_GRAFT_TURNS so cached blocks don't leak
-    in a shared session). Also covers the TEI eval-corpus cache so a
-    long-lived driver can release every cached block this module owns."""
-    for frame in _TURNS_CACHE.values():
-        frame.unpersist()
-    _TURNS_CACHE.clear()
-    for frame in _TEI_CORPUS_CACHE.values():
-        frame.unpersist()
-    _TEI_CORPUS_CACHE.clear()
+    in a shared session). Also covers the TEI eval-corpus and extraction
+    caches so a long-lived driver can release every cached block this
+    module owns. Unpersist on a frame whose session has been STOPPED
+    throws from the dead JVM endpoint — swallow it; eviction from the
+    dict is the part that must always happen."""
+    for cache in (_TURNS_CACHE, _TEI_CORPUS_CACHE, _EXTRACTED_CACHE):
+        for frame in cache.values():
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+        cache.clear()
 
 
 # ---------------------------------------------------------------------------

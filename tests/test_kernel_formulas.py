@@ -257,3 +257,14 @@ class TestChemicalNameGrammar:
         # never a guessed formula
         assert name_to_formula("osmium oxide") == {}
         assert name_to_formula("xenon fluoride") == {}
+
+    def test_elided_prefix_valence_guard(self):
+        # mono reading exceeding the element's max valence flips to the
+        # conventional dimer; chemically possible monos stay mono
+        assert self._f("iodine pentoxide") == \
+            ("I2O5", {"I": "2", "O": "5"})
+        assert self._f("chlorine heptoxide") == \
+            ("Cl2O7", {"Cl": "2", "O": "7"})
+        assert self._f("sulfur trioxide") == ("SO3", {"S": "1", "O": "3"})
+        assert self._f("nitrogen dioxide") == \
+            ("NO2", {"N": "1", "O": "2"})

@@ -22,7 +22,8 @@ PACKAGE = "material_parsers_spark"
 
 EXCLUDE_DIRS = {"__pycache__"}
 # golden parquet fixtures are oracle test data, not runtime resources
-EXCLUDE_PREFIXES = (os.path.join(PACKAGE, "resources", "golden"),)
+EXCLUDE_PREFIXES = (os.path.join(PACKAGE, "resources", "golden")
+                    + os.sep,)
 
 
 def build(out_zip: str) -> str:
