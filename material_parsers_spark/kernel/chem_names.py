@@ -232,6 +232,59 @@ def _format(element: str, count: int) -> str:
     return element if count == 1 else f"{element}{count}"
 
 
+def _parse_two_cation_name(words: list) -> Optional[dict]:
+    """Two element cations + one POLYATOMIC anion, balanced with the
+    smallest integer counts: "lithium iron phosphate" -> LiFePO4
+    (1·1 + 1·2 = 3). Restricted to polyatomic anions because their
+    charge is fixed — multi-cation OXIDE names ("lithium cobalt
+    oxide" = LiCoO2 with Co(III)) need per-compound oxidation states
+    the default table cannot supply, and a wrong balanced formula is
+    worse than no parse. The minimal solution must be unique at its
+    cost, else no-parse."""
+    w1, w2, anion_word = words
+    if anion_word not in ANIONS_POLY:
+        return None
+    cations = []
+    for w in (w1, w2):
+        parsed = _parse_cation(w)
+        if parsed is None or parsed[1] is None or parsed[2]:
+            return None
+        cations.append(parsed)
+    (el1, q1, _), (el2, q2, _) = cations
+    if el1 == el2:
+        return None
+    unit, an_charge = ANIONS_POLY[anion_word]
+
+    best = None
+    tied = False
+    for c in range(1, 5):
+        for a in range(1, 5):
+            for b in range(1, 5):
+                if a * q1 + b * q2 != c * (-an_charge):
+                    continue
+                cost = (c, a + b, a)
+                if best is None or cost < best[0]:
+                    best, tied = (cost, (a, b, c)), False
+                elif cost == best[0]:
+                    tied = True
+    if best is None or tied:
+        return None
+    a, b, c = best[1]
+
+    composition: Dict[str, int] = {el1: a}
+    composition[el2] = composition.get(el2, 0) + b
+    for el, k in unit.items():
+        composition[el] = composition.get(el, 0) + k * c
+    formula = _format(el1, a) + _format(el2, b)
+    if c == 1:
+        formula += "".join(_format(el, k) for el, k in unit.items())
+    else:
+        formula += "(" + "".join(_format(el, k) for el, k in unit.items()) \
+            + f"){c}"
+    return {"formula": formula,
+            "composition": {el: str(n) for el, n in composition.items()}}
+
+
 def parse_chemical_name(name: str) -> Optional[dict]:
     """Full-name grammar entry. Returns {"formula": str,
     "composition": {element: str}} or None when outside the grammar."""
@@ -246,6 +299,8 @@ def parse_chemical_name(name: str) -> Optional[dict]:
 
     words = cleaned.split()
     words, hydrate_n = _strip_hydrate(words)
+    if len(words) == 3:
+        return _parse_two_cation_name(words)
     if len(words) != 2:
         return None
     cation_word, anion_word = words

@@ -224,7 +224,7 @@ class TestChemicalNameGrammar:
             ("La2O3", {"La": "2", "O": "3"})
 
     def test_outside_grammar_degrades_to_empty(self):
-        assert name_to_formula("lithium iron phosphate") == {}  # 3 cations
+        assert name_to_formula("lithium iron cobalt phosphate") == {}
         assert name_to_formula("zinc ferrite") == {}  # spinel convention
         assert name_to_formula("purple dye") == {}
         assert name_to_formula("") == {}
@@ -268,3 +268,17 @@ class TestChemicalNameGrammar:
         assert self._f("sulfur trioxide") == ("SO3", {"S": "1", "O": "3"})
         assert self._f("nitrogen dioxide") == \
             ("NO2", {"N": "1", "O": "2"})
+
+    def test_two_cation_polyatomic_names(self):
+        # smallest-integer charge balance over two element cations;
+        # restricted to polyatomic anions (fixed charge)
+        assert self._f("lithium iron phosphate") == \
+            ("LiFePO4", {"Li": "1", "Fe": "1", "P": "1", "O": "4"})
+        assert self._f("calcium magnesium carbonate") == \
+            ("CaMg(CO3)2", {"Ca": "1", "Mg": "1", "C": "2", "O": "6"})
+        assert self._f("sodium aluminum sulfate") == \
+            ("NaAl(SO4)2", {"Na": "1", "Al": "1", "S": "2", "O": "8"})
+        # multi-cation OXIDES need per-compound oxidation states the
+        # default table cannot supply -- degrade, never guess
+        assert name_to_formula("lithium cobalt oxide") == {}
+        assert name_to_formula("barium strontium titanate") == {}
