@@ -23,7 +23,12 @@ chemistry, no reference code involved:
 - hydrate suffixes: "copper sulfate pentahydrate" -> CuSO4·5H2O with the
   composition mirroring the ANHYDROUS first part, exactly like the
   formula path's hydrate rule (reference ``composition[0].elements``);
-- a curated common-name dictionary (alumina, silica, yttria, YBCO, ...).
+- a curated common-name dictionary (alumina, silica, yttria, YBCO, ...);
+- a curated multi-cation-oxide table (MULTI_CATION_OXIDES) for the
+  common battery / functional oxides whose per-compound oxidation
+  states no default table can supply: LiCoO2, LiMn2O4, BiVO4, the
+  spinel ferrites, Y3Fe5O12, ... — names outside the table keep
+  degrading to no-parse.
 
 Unparseable names return ``None`` — the caller keeps the reference's
 degrade-to-empty contract.
@@ -96,6 +101,19 @@ ANIONS_POLY: Dict[str, Tuple[Dict[str, int], int]] = {
     "silicate": ({"Si": 1, "O": 3}, -2),      # metasilicate convention
     "borate": ({"B": 1, "O": 3}, -3),
     "acetate": ({"C": 2, "H": 3, "O": 2}, -1),
+    "oxalate": ({"C": 2, "O": 4}, -2),
+    "tungstate": ({"W": 1, "O": 4}, -2),      # scheelite-type WO4^2-
+    "molybdate": ({"Mo": 1, "O": 4}, -2),
+    # CONDENSED (pyro-) anions: a "di"/"pyro" prefix on a polyatomic
+    # anion names a condensed unit, NOT a multiplicity ("sodium
+    # diphosphate" is Na4P2O7, never Na(PO4)2), so these are exact
+    # entries and the prefix-splitting path never sees polyatomics
+    "diphosphate": ({"P": 2, "O": 7}, -4),
+    "pyrophosphate": ({"P": 2, "O": 7}, -4),
+    "disulfate": ({"S": 2, "O": 7}, -2),
+    "disulphate": ({"S": 2, "O": 7}, -2),
+    "pyrosulfate": ({"S": 2, "O": 7}, -2),
+    "disilicate": ({"Si": 2, "O": 7}, -6),
 }
 
 # ternary metal-oxide "-ate" names, perovskite/orthoferrite MO3 units:
@@ -104,14 +122,16 @@ TERNARY_ATE: Dict[str, str] = {
     "titanate": "Ti", "zirconate": "Zr", "hafnate": "Hf",
     "stannate": "Sn", "manganite": "Mn", "ferrite": "Fe",
     "cobaltite": "Co", "niobate": "Nb", "tantalate": "Ta",
-    "vanadate": "V", "tungstate": "W", "molybdate": "Mo",
+    "vanadate": "V",
     "cuprate": "Cu", "aluminate": "Al", "gallate": "Ga",
     "ruthenate": "Ru", "cerate": "Ce",
 }
-# oxidation state of the B-site metal inside the MO3 unit
+# oxidation state of the B-site metal inside the MO3 unit. W/Mo are
+# NOT here: at B=+6 the ABO3 guard (A+B=+6) could never admit a real
+# cation, so tungstate/molybdate live in ANIONS_POLY as MO4^2-.
 TERNARY_B_CHARGE: Dict[str, int] = {
     "Ti": 4, "Zr": 4, "Hf": 4, "Sn": 4, "Mn": 3, "Fe": 3, "Co": 3,
-    "Nb": 5, "Ta": 5, "V": 5, "W": 6, "Mo": 6, "Cu": 2, "Al": 3,
+    "Nb": 5, "Ta": 5, "V": 5, "Cu": 2, "Al": 3,
     "Ga": 3, "Ru": 4, "Ce": 4,
 }
 
@@ -171,6 +191,47 @@ COMMON_NAMES: Dict[str, Tuple[str, Dict[str, int]]] = {
     "arsenic trioxide": ("As2O3", {"As": 2, "O": 3}),
     "nitric oxide": ("NO", {"N": 1, "O": 1}),
     "nitrous oxide": ("N2O", {"N": 2, "O": 1}),
+}
+
+# Multi-cation OXIDE names need per-compound oxidation states (Co(III)
+# in LiCoO2, mixed Mn(III)/Mn(IV) in LiMn2O4, the spinel convention in
+# the MFe2O4 ferrites) that no default-charge table can supply, so the
+# balancing grammar refuses them (_parse_two_cation_name). This curated
+# per-compound table closes the common battery / functional oxides;
+# names outside it keep the degrade-to-no-parse contract. Reference
+# anchor: the text2chem name path the reference wraps behind
+# material_parser_formulas.py:77-116. Composition values are strings
+# because intercalation oxides are legitimately fractional (NMC/NCA).
+MULTI_CATION_OXIDES: Dict[str, Tuple[str, Dict[str, str]]] = {
+    "lithium cobalt oxide": ("LiCoO2", {"Li": "1", "Co": "1", "O": "2"}),
+    "lithium cobaltite": ("LiCoO2", {"Li": "1", "Co": "1", "O": "2"}),
+    "lithium nickel oxide": ("LiNiO2", {"Li": "1", "Ni": "1", "O": "2"}),
+    "lithium manganese oxide":
+        ("LiMn2O4", {"Li": "1", "Mn": "2", "O": "4"}),
+    "lithium manganate": ("LiMn2O4", {"Li": "1", "Mn": "2", "O": "4"}),
+    "lithium titanate":
+        ("Li4Ti5O12", {"Li": "4", "Ti": "5", "O": "12"}),
+    "lithium nickel manganese cobalt oxide":
+        ("LiNi1/3Mn1/3Co1/3O2",
+         {"Li": "1", "Ni": "1/3", "Mn": "1/3", "Co": "1/3", "O": "2"}),
+    "lithium nickel cobalt aluminum oxide":
+        ("LiNi0.8Co0.15Al0.05O2",
+         {"Li": "1", "Ni": "0.8", "Co": "0.15", "Al": "0.05", "O": "2"}),
+    "sodium cobalt oxide": ("NaCoO2", {"Na": "1", "Co": "1", "O": "2"}),
+    "bismuth vanadate": ("BiVO4", {"Bi": "1", "V": "1", "O": "4"}),
+    "bismuth ferrite": ("BiFeO3", {"Bi": "1", "Fe": "1", "O": "3"}),
+    "zinc ferrite": ("ZnFe2O4", {"Zn": "1", "Fe": "2", "O": "4"}),
+    "cobalt ferrite": ("CoFe2O4", {"Co": "1", "Fe": "2", "O": "4"}),
+    "nickel ferrite": ("NiFe2O4", {"Ni": "1", "Fe": "2", "O": "4"}),
+    "manganese ferrite": ("MnFe2O4", {"Mn": "1", "Fe": "2", "O": "4"}),
+    "magnesium aluminate":
+        ("MgAl2O4", {"Mg": "1", "Al": "2", "O": "4"}),
+    "barium hexaferrite":
+        ("BaFe12O19", {"Ba": "1", "Fe": "12", "O": "19"}),
+    "barium ferrite":
+        ("BaFe12O19", {"Ba": "1", "Fe": "12", "O": "19"}),
+    "yttrium iron garnet":
+        ("Y3Fe5O12", {"Y": "3", "Fe": "5", "O": "12"}),
 }
 
 
@@ -238,9 +299,12 @@ def _parse_two_cation_name(words: list) -> Optional[dict]:
     (1·1 + 1·2 = 3). Restricted to polyatomic anions because their
     charge is fixed — multi-cation OXIDE names ("lithium cobalt
     oxide" = LiCoO2 with Co(III)) need per-compound oxidation states
-    the default table cannot supply, and a wrong balanced formula is
-    worse than no parse. The minimal solution must be unique at its
-    cost, else no-parse."""
+    the default table cannot supply (the common ones are curated in
+    MULTI_CATION_OXIDES), and a wrong balanced formula is worse than
+    no parse. The minimal solution, compared on (anion count, total
+    cation count), must be UNIQUE: same-charge cation pairs admit
+    mirrored stoichiometries ("lithium sodium phosphate" balances as
+    both LiNa2PO4 and Li2NaPO4) and degrade to no-parse."""
     w1, w2, anion_word = words
     if anion_word not in ANIONS_POLY:
         return None
@@ -262,10 +326,10 @@ def _parse_two_cation_name(words: list) -> Optional[dict]:
             for b in range(1, 5):
                 if a * q1 + b * q2 != c * (-an_charge):
                     continue
-                cost = (c, a + b, a)
+                cost = (c, a + b)
                 if best is None or cost < best[0]:
                     best, tied = (cost, (a, b, c)), False
-                elif cost == best[0]:
+                elif cost == best[0] and (a, b, c) != best[1]:
                     tied = True
     if best is None or tied:
         return None
@@ -296,11 +360,20 @@ def parse_chemical_name(name: str) -> Optional[dict]:
         formula, comp = COMMON_NAMES[cleaned]
         return {"formula": formula,
                 "composition": {el: str(n) for el, n in comp.items()}}
+    if cleaned in MULTI_CATION_OXIDES:
+        formula, comp = MULTI_CATION_OXIDES[cleaned]
+        return {"formula": formula, "composition": dict(comp)}
 
     words = cleaned.split()
     words, hydrate_n = _strip_hydrate(words)
     if len(words) == 3:
-        return _parse_two_cation_name(words)
+        parsed = _parse_two_cation_name(words)
+        if parsed is not None and hydrate_n:
+            # same anhydrous-mirror rule as the 2-word path: the suffix
+            # joins the formula, the composition stays the first part's
+            parsed["formula"] += \
+                f"·{hydrate_n}H2O" if hydrate_n > 1 else "·H2O"
+        return parsed
     if len(words) != 2:
         return None
     cation_word, anion_word = words
@@ -311,13 +384,16 @@ def parse_chemical_name(name: str) -> Optional[dict]:
     element, charge, explicit_cat = cation
 
     # exact anion names win before prefix stripping ("dichromate" is the
-    # Cr2O7 anion, not di+chromate)
+    # Cr2O7 anion, not di+chromate). Prefix stripping is restricted to
+    # the covalent-binary -ide anions: a prefixed POLYATOMIC anion names
+    # a condensed anion (diphosphate = P2O7^4-, carried as exact
+    # ANIONS_POLY entries), never a multiplicity — Na(PO4)2-style
+    # balanced garbage must degrade to no-parse instead.
     if (anion_word in ANIONS_IDE or anion_word in ANIONS_POLY
             or anion_word in TERNARY_ATE):
         anion_count = 0
     else:
-        anion_count, anion_word = _split_prefix(
-            anion_word, {**ANIONS_IDE, **ANIONS_POLY})
+        anion_count, anion_word = _split_prefix(anion_word, ANIONS_IDE)
 
     if anion_word in ANIONS_IDE:
         an_el, an_charge = ANIONS_IDE[anion_word]

@@ -225,7 +225,8 @@ class TestChemicalNameGrammar:
 
     def test_outside_grammar_degrades_to_empty(self):
         assert name_to_formula("lithium iron cobalt phosphate") == {}
-        assert name_to_formula("zinc ferrite") == {}  # spinel convention
+        # variable-composition BST has no single formula — no-parse
+        assert name_to_formula("barium strontium titanate") == {}
         assert name_to_formula("purple dye") == {}
         assert name_to_formula("") == {}
 
@@ -279,6 +280,73 @@ class TestChemicalNameGrammar:
         assert self._f("sodium aluminum sulfate") == \
             ("NaAl(SO4)2", {"Na": "1", "Al": "1", "S": "2", "O": "8"})
         # multi-cation OXIDES need per-compound oxidation states the
-        # default table cannot supply -- degrade, never guess
-        assert name_to_formula("lithium cobalt oxide") == {}
+        # balancing grammar cannot supply -- only the curated
+        # MULTI_CATION_OXIDES table answers them (tested below)
+        assert name_to_formula("lithium vanadium oxide") == {}
         assert name_to_formula("barium strontium titanate") == {}
+
+    def test_two_cation_tie_degrades_to_no_parse(self):
+        # same-charge cations admit mirrored stoichiometries at the
+        # minimal (anion, total-cation) cost: LiNa2PO4 vs Li2NaPO4 --
+        # ambiguous, so no-parse rather than an arbitrary pick
+        assert name_to_formula("lithium sodium phosphate") == {}
+        assert name_to_formula("sodium potassium phosphate") == {}
+
+    def test_two_cation_hydrate_suffix(self):
+        # the 3-word path applies the same anhydrous-mirror hydrate
+        # rule as the 2-word path (ADVICE r4)
+        assert self._f("lithium iron phosphate dihydrate") == \
+            ("LiFePO4·2H2O",
+             {"Li": "1", "Fe": "1", "P": "1", "O": "4"})
+
+    def test_condensed_pyro_anions_are_exact_entries(self):
+        # di-/pyro- on a POLYATOMIC anion names a condensed unit, not a
+        # multiplicity: Na4P2O7, never Na(PO4)2 (ADVICE r4, medium)
+        assert self._f("sodium diphosphate") == \
+            ("Na4P2O7", {"Na": "4", "P": "2", "O": "7"})
+        assert self._f("sodium pyrophosphate") == \
+            ("Na4P2O7", {"Na": "4", "P": "2", "O": "7"})
+        assert self._f("sodium disulfate") == \
+            ("Na2S2O7", {"Na": "2", "S": "2", "O": "7"})
+        assert self._f("potassium pyrosulfate") == \
+            ("K2S2O7", {"K": "2", "S": "2", "O": "7"})
+        # an unknown prefixed polyatomic degrades -- the molecular
+        # prefix branch no longer fires for polyatomic anions
+        assert name_to_formula("sodium dicarbonate") == {}
+        assert name_to_formula("calcium diacetate") == {}
+
+    def test_tetrahedral_oxoanions_tungstate_molybdate(self):
+        # WO4^2-/MoO4^2- are ordinary polyatomic anions (the ABO3 guard
+        # could never admit a +6 B-site); scheelite/powellite families
+        assert self._f("calcium tungstate") == \
+            ("CaWO4", {"Ca": "1", "W": "1", "O": "4"})
+        assert self._f("sodium tungstate") == \
+            ("Na2WO4", {"Na": "2", "W": "1", "O": "4"})
+        assert self._f("calcium molybdate") == \
+            ("CaMoO4", {"Ca": "1", "Mo": "1", "O": "4"})
+
+    def test_multi_cation_oxide_table(self):
+        # curated per-compound table (VERDICT r4 ask #4): battery /
+        # functional oxides whose oxidation states are per-compound
+        assert self._f("lithium cobalt oxide") == \
+            ("LiCoO2", {"Li": "1", "Co": "1", "O": "2"})
+        assert self._f("lithium nickel oxide") == \
+            ("LiNiO2", {"Li": "1", "Ni": "1", "O": "2"})
+        assert self._f("lithium manganese oxide") == \
+            ("LiMn2O4", {"Li": "1", "Mn": "2", "O": "4"})
+        assert self._f("lithium titanate") == \
+            ("Li4Ti5O12", {"Li": "4", "Ti": "5", "O": "12"})
+        assert self._f("lithium nickel manganese cobalt oxide") == \
+            ("LiNi1/3Mn1/3Co1/3O2",
+             {"Li": "1", "Ni": "1/3", "Mn": "1/3", "Co": "1/3",
+              "O": "2"})
+        assert self._f("bismuth vanadate") == \
+            ("BiVO4", {"Bi": "1", "V": "1", "O": "4"})
+        assert self._f("zinc ferrite") == \
+            ("ZnFe2O4", {"Zn": "1", "Fe": "2", "O": "4"})
+        assert self._f("barium hexaferrite") == \
+            ("BaFe12O19", {"Ba": "1", "Fe": "12", "O": "19"})
+        assert self._f("yttrium iron garnet") == \
+            ("Y3Fe5O12", {"Y": "3", "Fe": "5", "O": "12"})
+        # outside the table: still no-parse, never a guess
+        assert name_to_formula("lithium chromium oxide") == {}
