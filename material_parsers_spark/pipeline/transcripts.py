@@ -9,6 +9,11 @@ whole-stage-codegen'd.
 Skew is built in on purpose (north rule: skew handled explicitly): a small
 set of "hot" conversations receives a constant fraction of all turns, giving
 a heavy-tailed conversation-size distribution to exercise salting/AQE.
+
+Exact-duplicate conversations are ALSO planted on purpose (see REPLAY_*):
+a fixed fraction of uniform conversations are byte-exact replays of earlier
+ones, so conversation-level dedup has non-vacuous results at every scale
+factor, including the sf0.001 drift-gate scale.
 """
 
 from __future__ import annotations
@@ -68,6 +73,22 @@ N_HOT_CONVS = 4          # hot conversations (skew tail)
 HOT_FRACTION_PCT = 12    # % of all turns landing in hot conversations
 TURNS_PER_CONV = 24      # nominal conversation size for the uniform mass
 
+# Planted EXACT-duplicate conversations (canned sessions / replayed
+# demos): every REPLAY_EVERY-th uniform conversation is a byte-exact
+# replay of the conversation REPLAY_SHIFT earlier — its turns derive
+# their content from `id - REPLAY_ID_DELTA` instead of `id`. The delta
+# must be a multiple of TURNS_PER_CONV (conversation boundaries align)
+# AND of 100 (the `id % 100` hot mask aligns, so the replay
+# conversation's id set is exactly the source's shifted by the delta:
+# same turn count, same order, same rendered lines). Timestamps stay
+# id-derived — replays happen later — but transcript fingerprints read
+# only (turn_idx, role, text), so conversation_dedup finds these at
+# EVERY scale (the r4 gap: sf0.001 had no duplicates at all).
+REPLAY_EVERY = 50
+REPLAY_SHIFT = 25
+REPLAY_ID_DELTA = TURNS_PER_CONV * REPLAY_SHIFT   # 600: %24==0, %100==0
+assert REPLAY_ID_DELTA % 100 == 0
+
 
 def generate_turns(spark: SparkSession, n_turns: int,
                    partitions: int = 32) -> DataFrame:
@@ -91,35 +112,43 @@ def generate_turns(spark: SparkSession, n_turns: int,
     df = df.withColumn(
         "turn_idx", (F.row_number().over(window) - F.lit(1)).cast("int"))
 
+    # replay conversations draw CONTENT from the source conversation's
+    # ids (see REPLAY_* above); everything below reads content_id, so a
+    # replay turn renders byte-identically to its source turn
+    is_replay = (~is_hot) & (
+        F.pmod(uniform_conv, F.lit(REPLAY_EVERY)) == F.lit(REPLAY_SHIFT))
+    content_id = F.when(is_replay, F.col("id") - F.lit(REPLAY_ID_DELTA)) \
+        .otherwise(F.col("id"))
+
     role = F.element_at(
         F.array(*[F.lit(r) for r in ROLES]),
-        (F.pmod(F.col("id"), F.lit(len(ROLES))) + 1).cast("int"),
+        (F.pmod(content_id, F.lit(len(ROLES))) + 1).cast("int"),
     )
     tool = F.when(
         role == "tool",
         F.element_at(
             F.array(*[F.lit(t) for t in TOOLS]),
-            (F.pmod(F.col("id"), F.lit(len(TOOLS))) + 1).cast("int"),
+            (F.pmod(content_id, F.lit(len(TOOLS))) + 1).cast("int"),
         ),
     )
 
     formula = F.element_at(
         F.array(*[F.lit(f) for f in FORMULAS]),
-        (F.pmod(F.col("id") / 7, F.lit(len(FORMULAS))).cast("int") + 1),
+        (F.pmod(content_id / 7, F.lit(len(FORMULAS))).cast("int") + 1),
     )
-    value = (F.pmod(F.col("id") * 7, F.lit(90)) + 3).cast("string")
-    digit = F.pmod(F.col("id"), F.lit(9)).cast("string")
+    value = (F.pmod(content_id * 7, F.lit(90)) + 3).cast("string")
+    digit = F.pmod(content_id, F.lit(9)).cast("string")
     crystal = F.element_at(
         F.array(*[F.lit(c) for c in CRYSTAL_STRUCTURES]),
-        (F.pmod(F.col("id") / 3, F.lit(len(CRYSTAL_STRUCTURES))).cast("int")
+        (F.pmod(content_id / 3, F.lit(len(CRYSTAL_STRUCTURES))).cast("int")
          + 1),
     )
     space_group = F.element_at(
         F.array(*[F.lit(g) for g in SPACE_GROUPS]),
-        (F.pmod(F.col("id") / 5, F.lit(len(SPACE_GROUPS))).cast("int") + 1),
+        (F.pmod(content_id / 5, F.lit(len(SPACE_GROUPS))).cast("int") + 1),
     )
 
-    template_id = F.pmod(F.col("id"), F.lit(len(TEMPLATES)))
+    template_id = F.pmod(content_id, F.lit(len(TEMPLATES)))
     kinds = {"F": formula, "V": value, "D": digit,
              "C": crystal, "G": space_group}
     text = None

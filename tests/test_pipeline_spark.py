@@ -71,6 +71,23 @@ def test_skew_present(spark):
     assert largest > 3 * median  # heavy tail exists
 
 
+def test_replay_conversations_are_byte_exact(spark):
+    """The planted replay conversations (transcripts.py REPLAY_*) must
+    reproduce their source conversation's (turn_idx, role, text, tool)
+    sequence byte-exactly — only conv_id and ts differ. Uniform conv 25
+    (conv-00000029) replays uniform conv 0 (conv-00000004)."""
+    from pyspark.sql import functions as F
+    rows = generate_turns(spark, 1000, partitions=4) \
+        .where(F.col("conv_id").isin("conv-00000004", "conv-00000029")) \
+        .collect()
+    by_conv = {}
+    for r in sorted(rows, key=lambda r: r.turn_idx):
+        by_conv.setdefault(r.conv_id, []).append(
+            (r.turn_idx, r.role, r.text, r.tool))
+    assert by_conv["conv-00000004"] == by_conv["conv-00000029"]
+    assert len(by_conv["conv-00000004"]) > 0
+
+
 def test_pipeline_matches_pure_kernel_per_turn(spark, turns):
     """The north-rule invariant: per-turn extraction equality under stable
     (conv_id, turn_idx) ordering — Spark vs driver-side kernel."""
@@ -424,31 +441,26 @@ def test_conversation_near_dedup_clusters_mutated_canned_sessions(spark):
 
 
 def test_conversation_dedup_finds_seeded_duplicates(spark):
-    """ADVICE r3: conversation_dedup's sf0.001 golden is empty, making
-    the drift gate vacuous there — this small-fixture pipeline test
-    exercises the full query path on a corpus WITH duplicates."""
-    import os
-
+    """ADVICE r3/r4: the generator PLANTS replay conversations (every
+    REPLAY_EVERY-th uniform conversation repeats the one REPLAY_SHIFT
+    earlier, transcripts.py REPLAY_*) so conversation_dedup is
+    non-vacuous at every scale — including the sf0.001 drift-gate scale
+    whose golden used to be empty. The three expected sf0.001 pairs are
+    pinned exactly."""
     from material_parsers_spark.queries import (
         SPARK_QUERIES,
         clear_turns_cache,
     )
 
-    # identical uniform conversations first recur when 24-turn blocks
-    # align across the generator's feature cycles (lcm 6300 ids, 24-
-    # aligned at 12600) — 30k turns guarantees several, the same
-    # mechanism that yields 525 dupes at sf0.01
-    os.environ["SPARK_GRAFT_TURNS"] = "30000"
-    try:
-        clear_turns_cache()
-        rows = SPARK_QUERIES["conversation_dedup"](
-            spark, "/root/testdata/sf0.001").collect()
-        assert rows, "expected seeded duplicate conversations"
-        for r in rows:
-            assert r.n_convs > 1
-    finally:
-        del os.environ["SPARK_GRAFT_TURNS"]
-        clear_turns_cache()
+    clear_turns_cache()
+    rows = SPARK_QUERIES["conversation_dedup"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected planted duplicate conversations at sf0.001"
+    assert all(r.n_convs > 1 for r in rows)
+    # replay pairs: uniform conv 25 replays 0, 75 replays 50, 125
+    # replays 100 -> conv numbers offset by N_HOT_CONVS=4
+    firsts = sorted(r.first_conv for r in rows)
+    assert firsts == ["conv-00000004", "conv-00000054", "conv-00000104"]
 
 
 def test_chunked_conversation_documents_parity_and_bounds(spark):
