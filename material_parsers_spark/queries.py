@@ -1073,6 +1073,25 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
             .select("doc_id", shingles.alias("shingles")))
 
 
+def _ngrams_df(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, ngrams array) of distinct word n-grams — the same
+    argument-bound zip_with-over-shifted-slices shape as _shingles_df
+    generalized to any n (no lambda ever references the split column,
+    so CollapseProject cannot inline an O(words^2) re-split; see the
+    _shingles_df comment for the jstack proof)."""
+    words = F.col("words")
+    # greatest-0 guard: Catalyst may evaluate the slice projection for
+    # rows the >= n filter later drops (negative lengths throw)
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    acc = F.slice(words, 1, cnt)
+    for k in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(words, k, cnt),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return (docs.select("doc_id", F.split("text", " ").alias("words"))
+            .where(F.size(words) >= n)
+            .select("doc_id", F.array_distinct(acc).alias("ngrams")))
+
+
 def _minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, b, band_key) rows: shingle -> 8 minhashes -> 4 bands x 2
     rows. The signature array is exploded to (doc_id, pos, hash) rows
@@ -1534,6 +1553,105 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.least("n_a", "n_b"), 6).alias("containment"),
         )
     )
+
+
+def decontaminate(docs: DataFrame, n: int = 13,
+                  eval_mod: int = 20) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram containment
+    against a held-out eval set (the standard 13-gram rule from the
+    GPT-3/Gopher decontamination recipes, public method). The eval set
+    here is a deterministic hash sample of the corpus itself
+    (doc-id hash % eval_mod == 0) — in production it would be the
+    benchmark suite's documents; the operator shape is identical.
+
+    Scale shape (100 TB verdict): the eval side is SMALL by definition
+    (benchmark suites, not the corpus), so its capped inverted index
+    (gram-hash -> <=32 eval docs, the same rank-window hot-bucket guard
+    as the LSH/containment caps — a boilerplate n-gram shared by the
+    whole eval suite must not fan the join out) is BROADCAST; the
+    corpus side is one narrow exploded pass that never shuffles on the
+    gram key, and the final per-doc aggregate reuses the doc_id
+    partitioning laid down before the explode, so the corpus is
+    touched by exactly one Exchange end to end. No all-pairs path
+    exists. Every non-eval document with >= n words gets a row
+    (flagged or not), so the result is non-vacuous at every scale."""
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    is_eval = _h(F.col("doc_id").cast("string")) % eval_mod == 0
+    grams = (_ngrams_df(docs, n)
+             .repartition(parallelism, "doc_id")
+             .select("doc_id", F.explode("ngrams").alias("gram"))
+             .select("doc_id", _h(F.col("gram")).alias("gram_h"),
+                     is_eval.alias("is_eval")))
+    cap_window = Window.partitionBy("gram_h").orderBy("doc_id")
+    eval_index = (
+        grams.where("is_eval")
+        .withColumn("rn", F.row_number().over(cap_window))
+        .where(F.col("rn") <= 32)
+        .groupBy("gram_h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("eval_docs"))
+    )
+    return (
+        grams.where(~F.col("is_eval"))
+        .join(F.broadcast(eval_index), "gram_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.count("eval_docs").alias("contaminated_ngrams"),
+            F.size(F.array_distinct(F.flatten(
+                F.collect_list("eval_docs")))).alias("eval_docs_hit"),
+        )
+        .select(
+            "doc_id", "total_ngrams", "contaminated_ngrams",
+            "eval_docs_hit",
+            F.round(F.col("contaminated_ngrams").cast("double")
+                    / F.col("total_ngrams"), 6).alias("contamination_frac"),
+            (F.col("contaminated_ngrams") > 0).alias("flagged"),
+        )
+    )
+
+
+_NGRAM13_CONCAT = "||' '||".join(f"w[i+{k}]" for k in range(13))
+_EVAL_H_SQL = _H_SQL.format(expr="cast(doc_id AS varchar)")
+
+
+@_register("decontaminate_ngrams", f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 12, 0)),
+             i -> {_NGRAM13_CONCAT})) AS gs
+  FROM docs WHERE len(w) >= 13),
+g AS (
+  SELECT doc_id, {_H_SQL.format(expr='gram')} AS gram_h,
+         {_EVAL_H_SQL} % 20 = 0 AS is_eval
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams)),
+evidx AS (
+  SELECT gram_h, list(doc_id) AS eval_docs FROM (
+    SELECT gram_h, doc_id,
+           row_number() OVER (PARTITION BY gram_h ORDER BY doc_id) AS rn
+    FROM g WHERE is_eval) WHERE rn <= 32
+  GROUP BY gram_h),
+joined AS (
+  SELECT c.doc_id, e.eval_docs
+  FROM g c LEFT JOIN evidx e USING (gram_h)
+  WHERE NOT c.is_eval)
+SELECT doc_id,
+       count(*) AS total_ngrams,
+       count(eval_docs) AS contaminated_ngrams,
+       cast(coalesce(len(list_distinct(flatten(
+           list(eval_docs) FILTER (eval_docs IS NOT NULL)))), 0) AS int)
+         AS eval_docs_hit,
+       round(cast(count(eval_docs) AS double) / count(*), 6)
+         AS contamination_frac,
+       count(eval_docs) > 0 AS flagged
+FROM joined GROUP BY doc_id
+""")
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram benchmark-decontamination over the documents table (see
+    decontaminate for semantics and the at-scale plan shape)."""
+    return decontaminate(_read(spark, sf_dir, "documents"))
 
 
 @_register("dedup_simhash", f"""
