@@ -184,7 +184,15 @@ def html_blocks(html: str) -> List[dict]:
     cdata_tag: str | None = None
 
     def flush() -> None:
-        text = _WS.sub(" ", "".join(parts)).strip()
+        # parts are already whitespace-collapsed per segment
+        # (text_segment), so the only runs a join can create are single
+        # spaces meeting at part boundaries — re-collapse only when that
+        # actually happened (profiling: the unconditional second sub was
+        # ~8% of scanner time, pure redundancy on most blocks)
+        text = "".join(parts)
+        if "  " in text:
+            text = _WS.sub(" ", text)
+        text = text.strip()
         if text:
             blocks.append({
                 "text": text,
