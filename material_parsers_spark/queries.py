@@ -1281,13 +1281,20 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 256) -> DataFrame:
     iterative lineage and materializes the frame the convergence count
     reads, so each round is one join + one cheap count job."""
     spark = edges.sparkSession
-    undirected = edges.union(
+    # stage the edge set with persist/unpersist rather than a first
+    # localCheckpoint: the old double-checkpoint left the superseded
+    # copy's blocks pinned for the session lifetime (checkpoint blocks
+    # have no public unpersist), which accumulated debris across
+    # repeated runs; the cache is freed explicitly once the sized
+    # checkpoint is materialized
+    staged = edges.union(
         edges.select(F.col("b_").alias("a"), F.col("a").alias("b_"))
-    ).distinct().localCheckpoint()
-    n_edges = undirected.count()
+    ).distinct().persist()
+    n_edges = staged.count()
     width = max(4, min(4 * spark.sparkContext.defaultParallelism,
                        (n_edges // 50_000) + 4))
-    undirected = undirected.repartition(width, "b_").localCheckpoint()
+    undirected = staged.repartition(width, "b_").localCheckpoint()
+    staged.unpersist()
 
     labels = (undirected.select(F.col("a").alias("doc"))
               .distinct()
