@@ -1048,37 +1048,25 @@ _SHINGLES_SQL = """
 
 
 def _shingles_df(docs: DataFrame) -> DataFrame:
-    # CRITICAL SHAPE: no lambda may reference the `words` column. Binding
-    # the split as a named column is NOT enough — CollapseProject inlines
-    # `split(text)` into higher-order-function lambdas, and HOF lambda
-    # bodies evaluate INTERPRETED per element, so `element_at(words, i)`
-    # inside a transform re-splits the whole text per shingle: O(words^2),
-    # minutes for ONE ~1 MB rendered hot conversation (proven by jstack:
-    # StringSplit.nullSafeEval inside ConcatWs.eval). zip_with over three
-    # shifted slices keeps every lambda argument-bound — the split is
-    # evaluated a constant number of times per ROW regardless of what
-    # Catalyst collapses. Shingle order (and therefore array_distinct's
-    # first-occurrence semantics) is identical to the old transform, so
-    # every oracle is unchanged.
-    words = F.col("words")
-    n = F.size(words)
-    s1 = F.slice(words, 1, n - 2)
-    s2 = F.slice(words, 2, n - 2)
-    s3 = F.slice(words, 3, n - 2)
-    pairs = F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b))
-    shingles = F.array_distinct(
-        F.zip_with(pairs, s3, lambda ab, c: F.concat_ws(" ", ab, c)))
-    return (docs.select("doc_id", F.split("text", " ").alias("words"))
-            .where(F.size(words) >= 3)
-            .select("doc_id", shingles.alias("shingles")))
+    """3-gram shingles: _ngrams_df with the column name every dedup
+    query and oracle expects (identical construction, so shingle order
+    and array_distinct first-occurrence semantics are unchanged)."""
+    return _ngrams_df(docs, 3).withColumnRenamed("ngrams", "shingles")
 
 
 def _ngrams_df(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, ngrams array) of distinct word n-grams — the same
-    argument-bound zip_with-over-shifted-slices shape as _shingles_df
-    generalized to any n (no lambda ever references the split column,
-    so CollapseProject cannot inline an O(words^2) re-split; see the
-    _shingles_df comment for the jstack proof)."""
+    """(doc_id, ngrams array) of distinct word n-grams.
+
+    CRITICAL SHAPE: no lambda may reference the `words` column. Binding
+    the split as a named column is NOT enough — CollapseProject inlines
+    `split(text)` into higher-order-function lambdas, and HOF lambda
+    bodies evaluate INTERPRETED per element, so `element_at(words, i)`
+    inside a transform re-splits the whole text per n-gram: O(words^2),
+    minutes for ONE ~1 MB rendered hot conversation (proven by jstack:
+    StringSplit.nullSafeEval inside ConcatWs.eval). zip_with over n
+    shifted slices keeps every lambda argument-bound — the split is
+    evaluated a constant number of times per ROW regardless of what
+    Catalyst collapses."""
     words = F.col("words")
     # greatest-0 guard: Catalyst may evaluate the slice projection for
     # rows the >= n filter later drops (negative lengths throw)
@@ -2166,16 +2154,24 @@ approx AS (
   SELECT 'pq' AS method, q_id, vec_id
   FROM ({ORACLE_SQL['similarity_pq']})),
 marked AS (SELECT q_id, vec_id, 1 AS hit FROM truth),
-n_truth AS (SELECT cast(count(*) AS bigint) AS truth_k FROM truth)
-SELECT a.method,
-       cast(count(*) AS bigint) AS returned,
-       cast(count(m.hit) AS bigint) AS hits,
+n_truth AS (SELECT cast(count(*) AS bigint) AS truth_k FROM truth),
+methods AS (SELECT unnest(['ann_lsh', 'ivf', 'pq']) AS method),
+agg AS (
+  SELECT a.method,
+         cast(count(*) AS bigint) AS returned,
+         cast(count(m.hit) AS bigint) AS hits
+  FROM approx a
+  LEFT JOIN marked m USING (q_id, vec_id)
+  GROUP BY a.method)
+SELECT mm.method,
+       coalesce(agg.returned, 0) AS returned,
+       coalesce(agg.hits, 0) AS hits,
        n.truth_k,
-       round(cast(count(m.hit) AS double) / n.truth_k, 6) AS recall_at_3
-FROM approx a
-LEFT JOIN marked m USING (q_id, vec_id)
+       round(cast(coalesce(agg.hits, 0) AS double) / n.truth_k, 6)
+         AS recall_at_3
+FROM methods mm
+LEFT JOIN agg USING (method)
 CROSS JOIN n_truth n
-GROUP BY a.method, n.truth_k
 """)
 def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of every ANN method against the brute-force cosine
@@ -2189,8 +2185,12 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-measures every run. PQ scores every vector (compression, not
     candidate pruning), so its recall reflects 8-byte quantization loss
     instead. The truth set and per-method results are small (top-k of a
-    handful of probe queries), so the joins broadcast."""
+    handful of probe queries), so the joins broadcast. A method whose
+    candidate set comes back EMPTY still gets its row (recall 0.0) via
+    the outer join against the static method list — the
+    nothing-survives regime is exactly what this report must show."""
     truth = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
+    names = ("ann_lsh", "ivf", "pq")
     parts = []
     for name, fn in (("ann_lsh", similarity_ann_lsh),
                      ("ivf", similarity_ivf),
@@ -2200,16 +2200,25 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = parts[0].unionByName(parts[1]).unionByName(parts[2])
     marked = truth.withColumn("hit", F.lit(1))
     n_truth = truth.agg(F.count("*").cast("long").alias("truth_k"))
-    return (
+    methods = spark.createDataFrame([(n,) for n in names],
+                                    "method string")
+    agg = (
         approx.join(F.broadcast(marked), ["q_id", "vec_id"], "left")
         .groupBy("method")
         .agg(F.count("*").alias("returned"),
              F.count("hit").alias("hits"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        F.broadcast(methods).join(agg, "method", "left")
         .crossJoin(F.broadcast(n_truth))
         .select(
-            "method", "returned", "hits", "truth_k",
-            F.round(F.col("hits").cast("double") / F.col("truth_k"), 6)
-            .alias("recall_at_3"),
+            "method",
+            F.coalesce("returned", zero).alias("returned"),
+            F.coalesce("hits", zero).alias("hits"),
+            "truth_k",
+            F.round(F.coalesce("hits", zero).cast("double")
+                    / F.col("truth_k"), 6).alias("recall_at_3"),
         )
     )
 

@@ -11,16 +11,19 @@ Jobs and their scale axes:
   components, scaled the same way (the hot-conversation tail grows 10x).
 - dedup_containment: documents-table operator; scaled by a deterministic
   10x replication of the sf0.1 documents corpus where every word in
-  replica r > 0 is suffixed "_r<r>" — replicas keep the original corpus's
-  internal near-dup structure but share no n-grams across replicas, so
-  per-document cost is comparable and the pair workload scales linearly.
+  replica r is suffixed "_r<r>" (INCLUDING replica 0, so both levels see
+  identical word lengths and the per-document hash cost is genuinely
+  comparable) — replicas keep the original corpus's internal near-dup
+  structure but share no n-grams across replicas, so the pair workload
+  scales linearly. n_chars is recomputed from the suffixed text.
 
 Per-unit cost is wall_seconds / units (turns or docs). The run also
 measures the in-run host ceiling (bench.py busy_rate) so a degraded
 shared-VM window is visible in the record. Output: ONE JSON line.
 
 Usage: python tools/scale_proof.py [--quick]
-  --quick uses 40k/400k turns and 500/5000 docs (smoke-testing the tool).
+  --quick uses 40k/400k turns and 5k/10k docs (smoke-testing the tool);
+  the full run uses 400k/4M turns and 5k/50k docs.
 """
 
 from __future__ import annotations
@@ -48,15 +51,15 @@ def build_scaled_documents(spark, out_dir: str, replicas: int) -> int:
         docs.crossJoin(F.broadcast(reps))
         .select(
             (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
-            F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                F.array_join(
-                    F.transform(
-                        F.split("text", " "),
-                        lambda w: F.concat(w, F.lit("_r"),
-                                           F.col("rep").cast("string"))),
-                    " ")).alias("text"),
-            "lang", "source", "n_chars",
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(w, F.lit("_r"),
+                                       F.col("rep").cast("string"))),
+                " ").alias("text"),
+            "lang", "source",
         )
+        .withColumn("n_chars", F.length("text").cast("long"))
     )
     scaled.repartition(32).write.mode("overwrite") \
         .parquet(f"{out_dir}/documents.parquet")
