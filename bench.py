@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_components",  # representative-edge connected components
     "dedup_containment",      # MOSS-style winnowing containment pairs
     "decontaminate_ngrams",   # 13-gram eval-set contamination flags
+    "conversation_decontaminate",  # same operator over rendered convs
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "layout_reading_order",   # PDF/layout block parse (JVM-only)
     "dedup_simhash",          # SimHash fingerprints

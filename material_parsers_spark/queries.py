@@ -1610,8 +1610,12 @@ _NGRAM13_CONCAT = "||' '||".join(f"w[i+{k}]" for k in range(13))
 _EVAL_H_SQL = _H_SQL.format(expr="cast(doc_id AS varchar)")
 
 
-@_register("decontaminate_ngrams", f"""
-WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def _decon_oracle_sql(docs_sql: str, id_alias: str = "doc_id") -> str:
+    """DuckDB mirror of `decontaminate` over any (doc_id, w words) CTE —
+    shared by the documents-table oracle and the conversation-document
+    computed oracle so the two can never drift apart."""
+    return f"""
+WITH docs AS ({docs_sql}),
 grams AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -1632,7 +1636,7 @@ joined AS (
   SELECT c.doc_id, e.eval_docs
   FROM g c LEFT JOIN evidx e USING (gram_h)
   WHERE NOT c.is_eval)
-SELECT doc_id,
+SELECT doc_id AS {id_alias},
        count(*) AS total_ngrams,
        count(eval_docs) AS contaminated_ngrams,
        cast(coalesce(len(list_distinct(flatten(
@@ -1642,11 +1646,35 @@ SELECT doc_id,
          AS contamination_frac,
        count(eval_docs) > 0 AS flagged
 FROM joined GROUP BY doc_id
-""")
+"""
+
+
+@_register("decontaminate_ngrams", _decon_oracle_sql(
+    "SELECT doc_id, string_split(text, ' ') AS w FROM documents"))
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """13-gram benchmark-decontamination over the documents table (see
     decontaminate for semantics and the at-scale plan shape)."""
     return decontaminate(_read(spark, sf_dir, "documents"))
+
+
+@_register("conversation_decontaminate")
+def conversation_decontaminate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Decontamination over RENDERED CONVERSATIONS (the north-rule input
+    surface): flags transcripts sharing any 13-gram with a held-out
+    eval sample of conversations. The planted replay conversations make
+    this non-vacuous by construction — a replay whose source (or vice
+    versa) hash-samples into the eval set is 100% contaminated. Same
+    broadcast capped-index shape as decontaminate_ngrams; the hot
+    conversations' ~10^5-word documents stay safe because the n-gram
+    build is the argument-bound zip_with shape (no O(words^2) re-split)
+    and the gram explode feeds a map-side-combinable aggregate. The
+    DuckDB oracle recomputes the whole operator from the drift-gated
+    conversation_documents golden (GOLDEN_INPUT_ORACLE_TEMPLATES)."""
+    rendered = conversation_documents(spark, sf_dir).select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("document").alias("text"))
+    return decontaminate(rendered).withColumnRenamed("doc_id", "conv_id")
 
 
 @_register("dedup_simhash", f"""
@@ -2550,6 +2578,10 @@ FROM reach GROUP BY src
 GOLDEN_INPUT_ORACLE_TEMPLATES = {
     "conversation_near_dedup": (_CONV_NEAR_DEDUP_ORACLE,
                                 "conversation_documents"),
+    "conversation_decontaminate": (_decon_oracle_sql(
+        "SELECT conv_id AS doc_id, string_split(document, ' ') AS w "
+        "FROM read_parquet('{path}')", id_alias="conv_id"),
+        "conversation_documents"),
 }
 for _name, (_template, _fixture) in GOLDEN_INPUT_ORACLE_TEMPLATES.items():
     ORACLE_SQL[_name] = _template.format(

@@ -63,3 +63,23 @@ def test_pq_encode_is_a_zero_shuffle_projection(spark):
     assert "Window" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_decontaminate_broadcasts_eval_index_single_corpus_exchange(spark):
+    """Pins the decontamination scale shape: the capped eval inverted
+    index is BROADCAST (never a shuffle join against the corpus), and
+    the corpus lineage pays exactly ONE Exchange (the explicit doc_id
+    repartition) — the per-doc aggregate reuses that partitioning. The
+    eval branch may shuffle (it is small by definition)."""
+    import re
+
+    from material_parsers_spark import queries as q
+
+    df = SPARK_QUERIES["decontaminate_ngrams"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # corpus side = everything ABOVE the BroadcastExchange subtree;
+    # the broadcast build side contains the eval branch's exchanges
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert len(re.findall(r"\bExchange hashpartitioning", corpus_side)) == 1
