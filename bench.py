@@ -41,6 +41,7 @@ HEADLINE = [
     "decontaminate_ngrams",   # 13-gram eval-set contamination flags
     "conversation_decontaminate",  # same operator over rendered convs
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
+    "quality_lm_score",       # CCNet-style bigram-LM perplexity
     "layout_reading_order",   # PDF/layout block parse (JVM-only)
     "dedup_simhash",          # SimHash fingerprints
     "similarity_topk",        # brute-force ANN baseline

@@ -1036,6 +1036,88 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("quality_lm_score", f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM docs WHERE len(w) >= 2),
+train AS (SELECT * FROM pairs WHERE {_H_SQL.format(
+    expr='cast(doc_id AS varchar)')} % 10 < 3),
+big AS (SELECT bg, count(*) AS c12 FROM train GROUP BY bg),
+uni AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        FROM train GROUP BY 1),
+vocab AS (SELECT count(DISTINCT split_part(bg, ' ', 1)) AS v FROM train),
+scored AS (
+  SELECT p.doc_id,
+         ln((coalesce(b.c12, 0)::DOUBLE + 0.5) /
+            (coalesce(u.c1, 0)::DOUBLE + 0.5 * v.v::DOUBLE)) AS logp
+  FROM pairs p
+  LEFT JOIN big b USING (bg)
+  LEFT JOIN uni u ON split_part(p.bg, ' ', 1) = u.w1
+  CROSS JOIN vocab v)
+SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+       round(avg(logp), 6) AS avg_logprob,
+       round(exp(-round(avg(logp), 6)), 4) AS lm_perplexity
+FROM scored GROUP BY doc_id
+""")
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (public method: Wenzek et al.
+    2019 filter web text by n-gram LM perplexity): a smoothed bigram
+    language model is "trained" on a deterministic 30% hash sample of
+    the corpus and every document is scored by its mean bigram log
+    probability / perplexity — low-perplexity documents read like the
+    corpus, high-perplexity ones are outliers (the filter axis CCNet
+    buckets into head/middle/tail).
+
+    Scale shape: at 100 TB the LM is built from a BOUNDED sample (here
+    the hash sample; in production a reference corpus), so the count
+    tables are broadcast — the corpus pays one explode + two broadcast
+    joins + one per-doc aggregate that reuses the explicit doc_id
+    partitioning. No shuffle grows with corpus size except the final
+    bounded per-doc aggregate. Smoothing is add-0.5 over the sampled
+    vocabulary; both engines compute the same double arithmetic
+    (natural log, counts coalesced to 0 for OOV)."""
+    docs = _read(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    w = F.col("w")
+    cnt = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(w, 1, cnt), F.slice(w, 2, cnt),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    pairs = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size(w) >= 2)
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    is_train = _h(F.col("doc_id").cast("string")) % 10 < 3
+    train = pairs.where(is_train)
+    big_counts = train.groupBy("bg").agg(F.count("*").alias("c12"))
+    uni_counts = (train.select(F.substring_index("bg", " ", 1).alias("w1"))
+                  .groupBy("w1").agg(F.count("*").alias("c1")))
+    vocab = (train.select(F.substring_index("bg", " ", 1).alias("w1"))
+             .agg(F.countDistinct("w1").alias("v")))
+    logp = F.log(
+        (F.coalesce("c12", F.lit(0)).cast("double") + 0.5)
+        / (F.coalesce("c1", F.lit(0)).cast("double")
+           + 0.5 * F.col("v").cast("double")))
+    avg_lp = F.round(F.avg("logp"), 6)
+    return (
+        pairs.join(F.broadcast(big_counts), "bg", "left")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(uni_counts), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             avg_lp.alias("avg_logprob"))
+        .select("doc_id", "n_bigrams", "avg_logprob",
+                F.round(F.exp(-F.col("avg_logprob")), 4)
+                .alias("lm_perplexity"))
+    )
+
+
 _SHINGLES_SQL = """
   SELECT doc_id,
          list_distinct(list_transform(
