@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_containment",      # MOSS-style winnowing containment pairs
     "decontaminate_ngrams",   # 13-gram eval-set contamination flags
     "conversation_decontaminate",  # same operator over rendered convs
+    "conversation_pii_scrub",  # regex PII detect+redact (JVM-only)
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity
     "layout_reading_order",   # PDF/layout block parse (JVM-only)

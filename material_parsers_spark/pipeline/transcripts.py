@@ -44,10 +44,14 @@ TEMPLATES = [
     "is notable.",
     "Diffraction confirms a %s arrangement with %s symmetry in this batch.",
     "The resistivity measurement shows T c = %s K for the %s sample.",
+    # PII-bearing turn (email + phone): gives the PII-scrub operator
+    # real signal at every scale, like the planted replays give dedup
+    "Contact the sample curator at lab%s@example.com or +1-555-010%s "
+    "for batch requests.",
 ]
 
 TEMPLATE_SLOTS = ["FV", "FV", "FD", "FV", "VF", "FV", "CG",
-                  "VD", "FV", "VF", "VD", "VF", "VF", "CG", "VF"]
+                  "VD", "FV", "VF", "VD", "VF", "VF", "CG", "VF", "DV"]
 
 # structure-dictionary surface forms (all present in the full gazetteer;
 # mixed case/spacing variants to exercise the trie's case folding and

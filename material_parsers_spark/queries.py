@@ -1759,6 +1759,93 @@ def conversation_decontaminate(spark: SparkSession,
     return decontaminate(rendered).withColumnRenamed("doc_id", "conv_id")
 
 
+# PII patterns shared by the Spark operator and its DuckDB oracle —
+# restricted to syntax both Java regex and RE2 interpret identically
+# (no backrefs, no lookaround). Replacement order is part of the
+# contract: both engines apply the same sequence.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\+?\d{1,3}-\d{3}-\d{4,6}", "<PHONE>"),
+    ("ip", r"(?:\d{1,3}\.){3}\d{1,3}", "<IP>"),
+)
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII detection + redaction (the C4/Dolma-style
+    scrub pass every training-data pipeline runs): counts per PII
+    class on the ORIGINAL text (order-independent), plus the hash of
+    the text after sequential redaction. Pure JVM regex — one
+    projection, zero shuffle beyond what the caller already has; at
+    100 TB this is a map-only pass."""
+    counts = [
+        F.regexp_count("text", F.lit(pat)).alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    out = docs.select(id_col, *counts, _h(redacted).alias("redacted_hash"))
+    n_pii = sum((F.col(f"n_{name}s") for name, _, _ in PII_PATTERNS),
+                F.lit(0))
+    return out.select(
+        id_col, *[f"n_{name}s" for name, _, _ in PII_PATTERNS],
+        n_pii.cast("int").alias("n_pii"),
+        (n_pii > 0).alias("flagged"),
+        "redacted_hash",
+    )
+
+
+def _pii_oracle_sql(docs_sql: str, id_alias: str = "doc_id") -> str:
+    """DuckDB mirror of pii_scrub over any (doc_id, text) CTE. DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all."""
+    count_cols = ",\n       ".join(
+        f"cast(len(regexp_extract_all(text, '{pat}')) AS int)"
+        f" AS n_{name}s"
+        for name, pat, _ in PII_PATTERNS)
+    redacted = "text"
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(f"n_{name}s" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH docs AS ({docs_sql}),
+marked AS (
+  SELECT doc_id,
+       {count_cols},
+       {_H_SQL.format(expr=redacted)} AS redacted_hash
+  FROM docs)
+SELECT doc_id AS {id_alias},
+       {", ".join(f"n_{name}s" for name, _, _ in PII_PATTERNS)},
+       cast({total} AS int) AS n_pii,
+       ({total}) > 0 AS flagged,
+       redacted_hash
+FROM marked
+"""
+
+
+@_register("pii_scrub_documents", _pii_oracle_sql(
+    "SELECT doc_id, text FROM documents"))
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the documents table (no planted PII there — the
+    per-doc rows pin the zero-count contract; the planted-PII signal
+    lives in conversation_pii_scrub and the fixture test)."""
+    return pii_scrub(_read(spark, sf_dir, "documents"))
+
+
+@_register("conversation_pii_scrub")
+def conversation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over RENDERED CONVERSATIONS: the synthetic corpus
+    plants an email+phone template (transcripts.py TEMPLATES[15]), so
+    a constant fraction of conversations is genuinely flagged at every
+    scale and the redaction hash proves the scrubbed text, not just the
+    counts. Computed DuckDB oracle from the drift-gated
+    conversation_documents golden."""
+    rendered = conversation_documents(spark, sf_dir).select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("document").alias("text"))
+    return pii_scrub(rendered).withColumnRenamed("doc_id", "conv_id")
+
+
 @_register("dedup_simhash", f"""
 WITH words AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
@@ -2664,7 +2751,13 @@ GOLDEN_INPUT_ORACLE_TEMPLATES = {
         "SELECT conv_id AS doc_id, string_split(document, ' ') AS w "
         "FROM read_parquet('{path}')", id_alias="conv_id"),
         "conversation_documents"),
+    "conversation_pii_scrub": (_pii_oracle_sql(
+        "SELECT conv_id AS doc_id, document AS text "
+        "FROM read_parquet('{path}')", id_alias="conv_id"),
+        "conversation_documents"),
 }
 for _name, (_template, _fixture) in GOLDEN_INPUT_ORACLE_TEMPLATES.items():
-    ORACLE_SQL[_name] = _template.format(
-        path=golden_path("sf0.01", _fixture))
+    # literal replace, NOT str.format: the PII oracle embeds regex
+    # quantifier braces ({2,}) that format() would try to interpret
+    ORACLE_SQL[_name] = _template.replace(
+        "{path}", golden_path("sf0.01", _fixture))

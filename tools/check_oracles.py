@@ -83,7 +83,9 @@ def main():
                 GOLDEN_INPUT_ORACLE_TEMPLATES.items():
             swapped = golden_path(sf_name, fixture)
             if name in oracles and os.path.exists(swapped):
-                oracles[name] = template.format(path=swapped)
+                # literal replace, NOT str.format (regex braces in
+                # the PII oracle would break format())
+                oracles[name] = template.replace("{path}", swapped)
 
     failures = []
     for name, fn in spark_queries.items():
