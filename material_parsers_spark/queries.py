@@ -1846,6 +1846,82 @@ def conversation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(rendered).withColumnRenamed("doc_id", "conv_id")
 
 
+def line_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
+                     sep: str = "\n") -> DataFrame:
+    """C4-style line-level duplication census: for each document, how
+    many of its lines also occur (byte-identical) in at least one OTHER
+    document. C4 removed such repeated lines to kill boilerplate; on
+    transcripts the same statistic surfaces canned turns and replayed
+    tool output.
+
+    Scale shape: explode lines -> 60-bit line-hash -> global counts via
+    one map-side-combined aggregate keyed on the hash (the only shuffle
+    that grows with the corpus; no caps needed because the join-back
+    target is the AGGREGATED one-row-per-hash frame, so no fan-out is
+    possible) -> join back -> per-doc aggregate. Distinct-per-doc lines
+    are counted once (a doc repeating its own line does not make the
+    line cross-document)."""
+    lines = (
+        docs.select(id_col, F.explode(F.split("text", sep)).alias("line"))
+        .where(F.length("line") > 0)
+        .select(id_col, _h(F.col("line")).alias("line_h"))
+        .distinct()
+    )
+    counts = lines.groupBy("line_h").agg(
+        F.count("*").alias("n_docs_with_line"))
+    return (
+        lines.join(counts, "line_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("n_docs_with_line") > 1, 1).otherwise(0))
+            .cast("long").alias("n_shared_lines"),
+        )
+        .select(
+            id_col, "n_lines", "n_shared_lines",
+            F.round(F.col("n_shared_lines").cast("double")
+                    / F.col("n_lines"), 6).alias("shared_line_frac"),
+        )
+    )
+
+
+def _line_dedup_oracle_sql(docs_sql: str,
+                           id_alias: str = "doc_id") -> str:
+    return f"""
+WITH docs AS ({docs_sql}),
+lines AS (
+  SELECT DISTINCT doc_id,
+         {_H_SQL.format(expr='line')} AS line_h
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM docs)
+  WHERE len(line) > 0),
+counts AS (SELECT line_h, count(*) AS n_docs_with_line
+           FROM lines GROUP BY line_h)
+SELECT doc_id AS {id_alias},
+       cast(count(*) AS bigint) AS n_lines,
+       cast(sum(CASE WHEN n_docs_with_line > 1 THEN 1 ELSE 0 END)
+            AS bigint) AS n_shared_lines,
+       round(cast(sum(CASE WHEN n_docs_with_line > 1 THEN 1 ELSE 0 END)
+                  AS double) / count(*), 6) AS shared_line_frac
+FROM lines JOIN counts USING (line_h)
+GROUP BY doc_id
+"""
+
+
+@_register("conversation_line_dedup")
+def conversation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-duplication census over rendered conversations: a line is a
+    rendered turn ("role: text"), so n_shared_lines counts turns whose
+    exact content recurs in other conversations — template-cycled and
+    replayed turns give real signal at every scale. Computed DuckDB
+    oracle from the drift-gated conversation_documents golden."""
+    rendered = conversation_documents(spark, sf_dir).select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("document").alias("text"))
+    return line_dedup_stats(rendered).withColumnRenamed(
+        "doc_id", "conv_id")
+
+
 @_register("dedup_simhash", f"""
 WITH words AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
@@ -2752,6 +2828,10 @@ GOLDEN_INPUT_ORACLE_TEMPLATES = {
         "FROM read_parquet('{path}')", id_alias="conv_id"),
         "conversation_documents"),
     "conversation_pii_scrub": (_pii_oracle_sql(
+        "SELECT conv_id AS doc_id, document AS text "
+        "FROM read_parquet('{path}')", id_alias="conv_id"),
+        "conversation_documents"),
+    "conversation_line_dedup": (_line_dedup_oracle_sql(
         "SELECT conv_id AS doc_id, document AS text "
         "FROM read_parquet('{path}')", id_alias="conv_id"),
         "conversation_documents"),
