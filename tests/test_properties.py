@@ -185,3 +185,68 @@ def test_tei_roundtrip_property():
                 == out["text"]
 
     run()
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_chemical_name_grammar_total(name):
+    """parse_chemical_name is total: any input returns None or a
+    well-formed {formula, composition} — never an exception."""
+    from material_parsers_spark.kernel.chem_names import (
+        parse_chemical_name)
+
+    out = parse_chemical_name(name)
+    if out is not None:
+        assert out["formula"]
+        assert out["composition"]
+        assert all(isinstance(k, str) and isinstance(v, str)
+                   for k, v in out["composition"].items())
+
+
+from material_parsers_spark.kernel import chem_names as _cn  # noqa: E402
+from material_parsers_spark.kernel import elements as _el  # noqa: E402
+
+
+@given(st.sampled_from(sorted(_el.ELEMENT_NAMES)),
+       st.sampled_from(sorted(_cn.ANIONS_IDE) + sorted(_cn.ANIONS_POLY)))
+@settings(max_examples=400, deadline=None)
+def test_charge_balance_over_all_cation_anion_pairs(cation, anion):
+    """For EVERY element-name x anion-name pair the balance path either
+    degrades to None or emits a charge-balanced integer composition —
+    the degrade-over-wrong-formula contract checked exhaustively-ish."""
+    from material_parsers_spark.kernel.chem_names import (
+        ANIONS_IDE,
+        ANIONS_POLY,
+        CATION_CHARGES,
+        COMMON_NAMES,
+        MULTI_CATION_OXIDES,
+        parse_chemical_name,
+    )
+    from material_parsers_spark.kernel.elements import ELEMENT_NAMES
+
+    name = f"{cation} {anion}"
+    if name in COMMON_NAMES or name in MULTI_CATION_OXIDES:
+        return  # dictionary entries pin conventional formulas instead
+    out = parse_chemical_name(name)
+    element = ELEMENT_NAMES[cation]
+    charge = CATION_CHARGES.get(element)
+    if charge is None:
+        assert out is None, f"{name}: no oxidation state, must degrade"
+        return
+    if anion in ANIONS_IDE:
+        unit, an_charge = ({ANIONS_IDE[anion][0]: 1},
+                           ANIONS_IDE[anion][1])
+    else:
+        unit, an_charge = ANIONS_POLY[anion]
+    if element in unit:
+        return  # cation element inside the anion unit: counts overlap
+    assert out is not None, f"{name}: balanceable pair must parse"
+    comp = {k: int(v) for k, v in out["composition"].items()}
+    n_cat = comp.pop(element)
+    # remaining composition must be an integer multiple of the unit
+    key_el = next(iter(unit))
+    n_units, rem = divmod(comp[key_el], unit[key_el])
+    assert rem == 0 and n_units >= 1
+    assert comp == {el: k * n_units for el, k in unit.items()}, name
+    assert n_cat * charge + n_units * an_charge == 0, \
+        f"{name}: {out['formula']} does not charge-balance"
