@@ -41,6 +41,8 @@ HEADLINE = [
     "decontaminate_ngrams",   # 13-gram eval-set contamination flags
     "conversation_decontaminate",  # same operator over rendered convs
     "conversation_pii_scrub",  # regex PII detect+redact (JVM-only)
+    "conversation_line_dedup",  # C4-style shared-line census
+    "pack_training_sequences",  # sharded fixed-length packing manifest
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity
     "layout_reading_order",   # PDF/layout block parse (JVM-only)

@@ -1922,6 +1922,104 @@ def conversation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "conv_id")
 
 
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 8
+
+
+@_register("pack_training_sequences", f"""
+WITH toks AS (
+  SELECT doc_id,
+         cast(len(string_split_regex(trim(text), '\\s+')) AS bigint)
+           AS n_tokens,
+         {_H_SQL.format(expr='cast(doc_id AS varchar)')}
+           % {_PACK_SHARDS} AS shard
+  FROM documents WHERE length(trim(text)) > 0),
+offs AS (
+  SELECT doc_id, shard, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bigint) AS start_off
+  FROM toks)
+SELECT doc_id, shard,
+       shard * 1000000 + seq_in_shard AS seq_id,
+       cast(CASE WHEN seq_in_shard = start_off // {_PACK_SEQ_LEN}
+                 THEN start_off % {_PACK_SEQ_LEN} ELSE 0 END AS bigint)
+         AS seq_begin,
+       cast(CASE WHEN seq_in_shard = (start_off + n_tokens - 1)
+                                      // {_PACK_SEQ_LEN}
+                 THEN (start_off + n_tokens - 1) % {_PACK_SEQ_LEN} + 1
+                 ELSE {_PACK_SEQ_LEN} END AS bigint) AS seq_end,
+       cast(seq_in_shard * {_PACK_SEQ_LEN} - start_off
+            + CASE WHEN seq_in_shard = start_off // {_PACK_SEQ_LEN}
+                   THEN start_off % {_PACK_SEQ_LEN} ELSE 0 END
+            AS bigint) AS doc_from
+FROM offs,
+     unnest(generate_series(start_off // {_PACK_SEQ_LEN},
+                            (start_off + n_tokens - 1)
+                            // {_PACK_SEQ_LEN})) t(seq_in_shard)
+""")
+def pack_training_sequences(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Sequence PACKING — the last step of an LLM data pipeline:
+    concatenate documents (whitespace-token counts, the token_stats
+    definition) and cut into fixed {_PACK_SEQ_LEN}-token training
+    sequences, emitting the packing MANIFEST: one row per
+    (sequence, document) span with the sequence-local [seq_begin,
+    seq_end) slice and the document-local offset doc_from it maps to.
+    A document longer than one sequence spans several rows; sequences
+    pack multiple short documents. Reassembling each sequence's rows in
+    order tiles [0, seq_len) exactly (pinned by test).
+
+    Scale shape: packing is SHARDED (doc-id hash -> {_PACK_SHARDS}
+    shards; sequence ids are shard-prefixed) so the running-token-sum
+    window orders WITHIN shards only — no global total order exists,
+    shards pack embarrassingly parallel, and at 100 TB the shard count
+    scales with the cluster instead of serializing one window. The
+    span explode is pure column algebra (sequence + explode), zero
+    Python."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+            .alias("n_tokens"),
+            (_h(F.col("doc_id").cast("string")) % _PACK_SHARDS)
+            .alias("shard"),
+        )
+    )
+    shard_window = Window.partitionBy("shard").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offs = toks.withColumn(
+        "start_off",
+        F.coalesce(F.sum("n_tokens").over(shard_window), F.lit(0)))
+    first_seq = (F.col("start_off") / _PACK_SEQ_LEN).cast("long")
+    last_seq = ((F.col("start_off") + F.col("n_tokens") - 1)
+                / _PACK_SEQ_LEN).cast("long")
+    spans = offs.select(
+        "doc_id", "shard", "start_off", "n_tokens",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_in_shard"),
+    )
+    seq_start = F.col("seq_in_shard") * _PACK_SEQ_LEN
+    seq_begin = F.when(
+        seq_start < F.col("start_off"),
+        F.col("start_off") - seq_start).otherwise(F.lit(0))
+    doc_end = F.col("start_off") + F.col("n_tokens")
+    seq_end = F.when(
+        doc_end < seq_start + _PACK_SEQ_LEN,
+        doc_end - seq_start).otherwise(F.lit(_PACK_SEQ_LEN))
+    return spans.select(
+        "doc_id", "shard",
+        (F.col("shard") * 1_000_000 + F.col("seq_in_shard"))
+        .alias("seq_id"),
+        seq_begin.cast("long").alias("seq_begin"),
+        seq_end.cast("long").alias("seq_end"),
+        (seq_start + seq_begin - F.col("start_off")).cast("long")
+        .alias("doc_from"),
+    )
+
+
 @_register("dedup_simhash", f"""
 WITH words AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w

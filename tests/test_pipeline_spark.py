@@ -585,3 +585,50 @@ def test_chunked_conversation_documents_dense_ids_across_giant_turn(spark):
     assembled = "\n".join(r.document for r in chunks)
     expected = "\n".join(f"user: {t}" for t in texts)
     assert assembled == expected
+
+
+def test_pack_training_sequences_tiles_exactly(spark):
+    """Packing manifest invariants: within every sequence the spans
+    tile [0, seq_len) with no gaps or overlaps (except the shard's
+    final partial sequence, which tiles [0, tail)); per document the
+    doc_from offsets cover [0, n_tokens) contiguously in seq order."""
+    from pyspark.sql import functions as F
+
+    from material_parsers_spark.queries import (
+        _PACK_SEQ_LEN,
+        SPARK_QUERIES,
+    )
+
+    df = SPARK_QUERIES["pack_training_sequences"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_seq = {}
+    by_doc = {}
+    for r in df:
+        assert 0 <= r.seq_begin < r.seq_end <= _PACK_SEQ_LEN
+        by_seq.setdefault(r.seq_id, []).append((r.seq_begin, r.seq_end))
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.seq_id, r.doc_from, r.seq_end - r.seq_begin))
+    assert by_seq, "packing produced no spans"
+    last_seq_per_shard = {}
+    for seq_id in by_seq:
+        shard = seq_id // 1_000_000
+        last_seq_per_shard[shard] = max(
+            last_seq_per_shard.get(shard, -1), seq_id)
+    for seq_id, spans in by_seq.items():
+        spans.sort()
+        # contiguous from 0
+        assert spans[0][0] == 0
+        for (b1, e1), (b2, e2) in zip(spans, spans[1:]):
+            assert e1 == b2, f"gap/overlap in seq {seq_id}"
+        if seq_id != last_seq_per_shard[seq_id // 1_000_000]:
+            assert spans[-1][1] == _PACK_SEQ_LEN, \
+                f"non-final sequence {seq_id} not full"
+    # per-document coverage: doc_from spans tile [0, n_tokens)
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][1] == 0
+        covered = 0
+        for _, doc_from, width in spans:
+            assert doc_from == covered
+            covered += width
+        assert covered > 0
