@@ -1751,8 +1751,13 @@ def conversation_decontaminate(spark: SparkSession,
     conversations' ~10^5-word documents stay safe because the n-gram
     build is the argument-bound zip_with shape (no O(words^2) re-split)
     and the gram explode feeds a map-side-combinable aggregate. The
-    DuckDB oracle recomputes the whole operator from the drift-gated
-    conversation_documents golden (GOLDEN_INPUT_ORACLE_TEMPLATES)."""
+    in-row gram BUILD is still linear work inside one task per
+    conversation, so a corpus with truly unbounded conversations
+    (multi-GB transcripts) should feed conversation_documents_chunked
+    output here instead — per-chunk containment loses only the grams
+    straddling chunk boundaries. The DuckDB oracle recomputes the whole
+    operator from the drift-gated conversation_documents golden
+    (GOLDEN_INPUT_ORACLE_TEMPLATES)."""
     rendered = conversation_documents(spark, sf_dir).select(
         F.col("conv_id").alias("doc_id"),
         F.col("document").alias("text"))
