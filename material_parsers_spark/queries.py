@@ -370,6 +370,16 @@ def conversation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rendered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendered conversations as a (doc_id, text) document surface —
+    the shared input of every conversation-level corpus operator
+    (near-dedup, decontamination, PII scrub, line dedup). Callers
+    rename doc_id back to conv_id on their result."""
+    return conversation_documents(spark, sf_dir).select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("document").alias("text"))
+
+
 def conversation_documents_chunked(turns: DataFrame,
                                    max_chars: int = 65536) -> DataFrame:
     """Turn-range-chunked conversation materialization: the runnable
@@ -482,9 +492,7 @@ def conversation_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes shingle -> minhash -> bands -> transitive closure from
     the drift-gated conversation_documents golden fixture, so the
     near-dup logic is verified independently end to end."""
-    rendered = conversation_documents(spark, sf_dir).select(
-        F.col("conv_id").alias("doc_id"), F.col("document").alias("text"))
-    return near_dup_conversation_clusters(rendered)
+    return near_dup_conversation_clusters(_rendered_docs(spark, sf_dir))
 
 
 def _minhash_bands_exploded(docs: DataFrame) -> DataFrame:
@@ -1036,19 +1044,25 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_TRAIN_DOCS = 120
+
+
 @_register("quality_lm_score", f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+train_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY {_H_SQL.format(expr='cast(doc_id AS varchar)')}, doc_id
+  LIMIT {_LM_TRAIN_DOCS}),
 pairs AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, len(w) - 1),
                                i -> w[i] || ' ' || w[i+1])) AS bg
   FROM docs WHERE len(w) >= 2),
-train AS (SELECT * FROM pairs WHERE {_H_SQL.format(
-    expr='cast(doc_id AS varchar)')} % 10 < 3),
+train AS (SELECT p.* FROM pairs p JOIN train_ids USING (doc_id)),
 big AS (SELECT bg, count(*) AS c12 FROM train GROUP BY bg),
-uni AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
-        FROM train GROUP BY 1),
-vocab AS (SELECT count(DISTINCT split_part(bg, ' ', 1)) AS v FROM train),
+uni AS (SELECT split_part(bg, ' ', 1) AS w1, cast(sum(c12) AS bigint) AS c1
+        FROM big GROUP BY 1),
+vocab AS (SELECT count(*) AS v FROM uni),
 scored AS (
   SELECT p.doc_id,
          ln((coalesce(b.c12, 0)::DOUBLE + 0.5) /
@@ -1065,39 +1079,59 @@ FROM scored GROUP BY doc_id
 def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (public method: Wenzek et al.
     2019 filter web text by n-gram LM perplexity): a smoothed bigram
-    language model is "trained" on a deterministic 30% hash sample of
-    the corpus and every document is scored by its mean bigram log
-    probability / perplexity — low-perplexity documents read like the
-    corpus, high-perplexity ones are outliers (the filter axis CCNet
-    buckets into head/middle/tail).
+    language model is "trained" on a deterministic fixed-size sample
+    of the corpus ({_LM_TRAIN_DOCS} docs, smallest doc-id hash — in
+    production a curated reference corpus plugs in here) and every
+    document is scored by its mean bigram log probability /
+    perplexity — low-perplexity documents read like the corpus,
+    high-perplexity ones are outliers (the filter axis CCNet buckets
+    into head/middle/tail).
 
-    Scale shape: at 100 TB the LM is built from a BOUNDED sample (here
-    the hash sample; in production a reference corpus), so the count
-    tables are broadcast — the corpus pays one explode + two broadcast
-    joins + one per-doc aggregate that reuses the explicit doc_id
-    partitioning. No shuffle grows with corpus size except the final
-    bounded per-doc aggregate. Smoothing is add-0.5 over the sampled
-    vocabulary; both engines compute the same double arithmetic
-    (natural log, counts coalesced to 0 for OOV)."""
+    Scale shape: the training sample is a FIXED doc count, not a
+    corpus percentage, so the bigram/unigram count tables are bounded
+    no matter the corpus size and the broadcasts stay legal at 100 TB.
+    Sampling is a TakeOrderedAndProject over (hash, doc_id) — top-N
+    per partition then one driver merge of N-row heads, no global
+    sort. The unigram table and vocabulary size derive FROM the
+    bigram-count aggregate (c1 = sum of c12 over w1; v = row count of
+    uni) so the train lineage feeds one aggregation tree and Spark's
+    ReuseExchange dedupes the shared shuffle. The full corpus pays
+    ONE explode + three bounded broadcast joins + the per-doc
+    aggregate that reuses the explicit doc_id partitioning. Smoothing
+    is add-0.5 over the sampled vocabulary; both engines compute the
+    same double arithmetic (natural log, counts coalesced to 0 for
+    OOV)."""
     docs = _read(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
+    train_ids = (
+        docs.select("doc_id",
+                    _h(F.col("doc_id").cast("string")).alias("_h"))
+        .orderBy("_h", "doc_id").limit(_LM_TRAIN_DOCS)
+        .select("doc_id")
+    )
     w = F.col("w")
     cnt = F.greatest(F.size(w) - 1, F.lit(0))
     bigrams = F.zip_with(F.slice(w, 1, cnt), F.slice(w, 2, cnt),
                          lambda a, b: F.concat_ws(" ", a, b))
-    pairs = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .where(F.size(w) >= 2)
-        .repartition(parallelism, "doc_id")
-        .select("doc_id", F.explode(bigrams).alias("bg"))
-    )
-    is_train = _h(F.col("doc_id").cast("string")) % 10 < 3
-    train = pairs.where(is_train)
+
+    def _pairs_of(frame):
+        return (
+            frame.select("doc_id", F.split("text", " ").alias("w"))
+            .where(F.size(w) >= 2)
+            .repartition(parallelism, "doc_id")
+            .select("doc_id", F.explode(bigrams).alias("bg"))
+        )
+
+    pairs = _pairs_of(docs)
+    # semi-join BEFORE the explode: the train branch splits/explodes
+    # only the N sampled documents, never the corpus
+    train = _pairs_of(docs.join(F.broadcast(train_ids), "doc_id"))
     big_counts = train.groupBy("bg").agg(F.count("*").alias("c12"))
-    uni_counts = (train.select(F.substring_index("bg", " ", 1).alias("w1"))
-                  .groupBy("w1").agg(F.count("*").alias("c1")))
-    vocab = (train.select(F.substring_index("bg", " ", 1).alias("w1"))
-             .agg(F.countDistinct("w1").alias("v")))
+    uni_counts = (big_counts
+                  .select(F.substring_index("bg", " ", 1).alias("w1"),
+                          "c12")
+                  .groupBy("w1").agg(F.sum("c12").alias("c1")))
+    vocab = uni_counts.agg(F.count("*").alias("v"))
     logp = F.log(
         (F.coalesce("c12", F.lit(0)).cast("double") + 0.5)
         / (F.coalesce("c1", F.lit(0)).cast("double")
@@ -1758,10 +1792,8 @@ def conversation_decontaminate(spark: SparkSession,
     straddling chunk boundaries. The DuckDB oracle recomputes the whole
     operator from the drift-gated conversation_documents golden
     (GOLDEN_INPUT_ORACLE_TEMPLATES)."""
-    rendered = conversation_documents(spark, sf_dir).select(
-        F.col("conv_id").alias("doc_id"),
-        F.col("document").alias("text"))
-    return decontaminate(rendered).withColumnRenamed("doc_id", "conv_id")
+    return decontaminate(_rendered_docs(spark, sf_dir)) \
+        .withColumnRenamed("doc_id", "conv_id")
 
 
 # PII patterns shared by the Spark operator and its DuckDB oracle —
@@ -1845,10 +1877,8 @@ def conversation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale and the redaction hash proves the scrubbed text, not just the
     counts. Computed DuckDB oracle from the drift-gated
     conversation_documents golden."""
-    rendered = conversation_documents(spark, sf_dir).select(
-        F.col("conv_id").alias("doc_id"),
-        F.col("document").alias("text"))
-    return pii_scrub(rendered).withColumnRenamed("doc_id", "conv_id")
+    return pii_scrub(_rendered_docs(spark, sf_dir)) \
+        .withColumnRenamed("doc_id", "conv_id")
 
 
 def line_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
@@ -1920,11 +1950,8 @@ def conversation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact content recurs in other conversations — template-cycled and
     replayed turns give real signal at every scale. Computed DuckDB
     oracle from the drift-gated conversation_documents golden."""
-    rendered = conversation_documents(spark, sf_dir).select(
-        F.col("conv_id").alias("doc_id"),
-        F.col("document").alias("text"))
-    return line_dedup_stats(rendered).withColumnRenamed(
-        "doc_id", "conv_id")
+    return line_dedup_stats(_rendered_docs(spark, sf_dir)) \
+        .withColumnRenamed("doc_id", "conv_id")
 
 
 _PACK_SEQ_LEN = 512
@@ -1947,7 +1974,7 @@ offs AS (
            AS bigint) AS start_off
   FROM toks)
 SELECT doc_id, shard,
-       shard * 1000000 + seq_in_shard AS seq_id,
+       seq_in_shard * {_PACK_SHARDS} + shard AS seq_id,
        cast(CASE WHEN seq_in_shard = start_off // {_PACK_SEQ_LEN}
                  THEN start_off % {_PACK_SEQ_LEN} ELSE 0 END AS bigint)
          AS seq_begin,
@@ -1977,8 +2004,9 @@ def pack_training_sequences(spark: SparkSession,
     order tiles [0, seq_len) exactly (pinned by test).
 
     Scale shape: packing is SHARDED (doc-id hash -> {_PACK_SHARDS}
-    shards; sequence ids are shard-prefixed) so the running-token-sum
-    window orders WITHIN shards only — no global total order exists,
+    shards; sequence ids interleave shards as seq_in_shard * SHARDS +
+    shard, collision-free for unbounded per-shard sequence counts) so
+    the running-token-sum window orders WITHIN shards only — no global total order exists,
     shards pack embarrassingly parallel, and at 100 TB the shard count
     scales with the cluster instead of serializing one window. The
     span explode is pure column algebra (sequence + explode), zero
@@ -2016,7 +2044,7 @@ def pack_training_sequences(spark: SparkSession,
         doc_end - seq_start).otherwise(F.lit(_PACK_SEQ_LEN))
     return spans.select(
         "doc_id", "shard",
-        (F.col("shard") * 1_000_000 + F.col("seq_in_shard"))
+        (F.col("seq_in_shard") * _PACK_SHARDS + F.col("shard"))
         .alias("seq_id"),
         seq_begin.cast("long").alias("seq_begin"),
         seq_end.cast("long").alias("seq_end"),

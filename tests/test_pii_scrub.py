@@ -8,7 +8,6 @@ from pyspark.sql import functions as F
 
 from material_parsers_spark.pipeline.session import build_session
 from material_parsers_spark.queries import (
-    ORACLE_SQL,
     SPARK_QUERIES,
     _pii_oracle_sql,
     pii_scrub,

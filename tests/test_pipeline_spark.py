@@ -596,6 +596,7 @@ def test_pack_training_sequences_tiles_exactly(spark):
 
     from material_parsers_spark.queries import (
         _PACK_SEQ_LEN,
+        _PACK_SHARDS,
         SPARK_QUERIES,
     )
 
@@ -611,7 +612,7 @@ def test_pack_training_sequences_tiles_exactly(spark):
     assert by_seq, "packing produced no spans"
     last_seq_per_shard = {}
     for seq_id in by_seq:
-        shard = seq_id // 1_000_000
+        shard = seq_id % _PACK_SHARDS
         last_seq_per_shard[shard] = max(
             last_seq_per_shard.get(shard, -1), seq_id)
     for seq_id, spans in by_seq.items():
@@ -620,7 +621,7 @@ def test_pack_training_sequences_tiles_exactly(spark):
         assert spans[0][0] == 0
         for (b1, e1), (b2, e2) in zip(spans, spans[1:]):
             assert e1 == b2, f"gap/overlap in seq {seq_id}"
-        if seq_id != last_seq_per_shard[seq_id // 1_000_000]:
+        if seq_id != last_seq_per_shard[seq_id % _PACK_SHARDS]:
             assert spans[-1][1] == _PACK_SEQ_LEN, \
                 f"non-final sequence {seq_id} not full"
     # per-document coverage: doc_from spans tile [0, n_tokens)

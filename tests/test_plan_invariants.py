@@ -73,8 +73,6 @@ def test_decontaminate_broadcasts_eval_index_single_corpus_exchange(spark):
     eval branch may shuffle (it is small by definition)."""
     import re
 
-    from material_parsers_spark import queries as q
-
     df = SPARK_QUERIES["decontaminate_ngrams"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
