@@ -2053,6 +2053,234 @@ def pack_training_sequences(spark: SparkSession,
     )
 
 
+_FUNNEL_STAGES = ("all", "non_empty", "lang_en", "gopher_quality",
+                  "exact_dedup", "decontaminated", "pii_clean")
+
+
+def _funnel_oracle_sql() -> str:
+    """DuckDB mirror of curation_funnel, composed FROM the registered
+    oracles of the stage operators (lang_id_heuristic,
+    quality_gopher_rules, decontaminate, the shared PII patterns) so
+    the funnel can never drift from the operators it chains."""
+    is_eval = f"{_EVAL_H_SQL} % 20 = 0"
+    th = _H_SQL.format(expr="text")
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat, _ in PII_PATTERNS)
+    decon_sql = _decon_oracle_sql(
+        "SELECT doc_id, string_split(text, ' ') AS w FROM decon_input")
+    return f"""
+WITH lang AS (SELECT * FROM ({ORACLE_SQL['lang_id_heuristic']}) t),
+goph AS (SELECT * FROM ({ORACLE_SQL['quality_gopher_rules']}) t),
+s2 AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN lang USING (doc_id)
+       WHERE lang.predicted_lang = 'en'),
+s4 AS (SELECT s3.doc_id, s3.text FROM s3 JOIN goph USING (doc_id)
+       WHERE goph.passes_length AND goph.passes_word_len
+         AND goph.passes_repetition),
+s5 AS (SELECT s4.doc_id, s4.text FROM s4
+       JOIN (SELECT {th} AS th, min(doc_id) AS keep_id
+             FROM s4 GROUP BY 1) k
+         ON {_H_SQL.format(expr='s4.text')} = k.th
+        AND s4.doc_id = k.keep_id),
+decon_input AS (
+  SELECT doc_id, text FROM documents WHERE {is_eval}
+  UNION ALL
+  SELECT doc_id, text FROM s5 WHERE NOT ({is_eval})),
+decon AS (SELECT * FROM ({decon_sql}) t),
+s6 AS (SELECT doc_id, text FROM s5 LEFT JOIN decon USING (doc_id)
+       WHERE NOT ({is_eval}) AND NOT coalesce(decon.flagged, false)),
+s7 AS (SELECT doc_id FROM s6 WHERE {pii_total} = 0)
+SELECT cast(1 AS bigint) AS stage_idx, 'all' AS stage,
+       (SELECT cast(count(*) AS bigint) FROM documents) AS n_surviving
+UNION ALL SELECT 2, 'non_empty', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'lang_en', (SELECT count(*) FROM s3)
+UNION ALL SELECT 4, 'gopher_quality', (SELECT count(*) FROM s4)
+UNION ALL SELECT 5, 'exact_dedup', (SELECT count(*) FROM s5)
+UNION ALL SELECT 6, 'decontaminated', (SELECT count(*) FROM s6)
+UNION ALL SELECT 7, 'pii_clean', (SELECT count(*) FROM s7)
+"""
+
+
+@_register("curation_funnel", _funnel_oracle_sql())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CURATION FUNNEL — the whole training-data pipeline as
+    one query, chaining the suite's gate operators in their production
+    order and reporting survivors after each stage: all -> non-empty ->
+    language (lang_id_heuristic == 'en') -> Gopher quality rules ->
+    exact dedup (canonical = min doc_id per text-hash group among the
+    quality survivors) -> benchmark decontamination (the held-out eval
+    hash-sample is dropped AND any doc sharing a 13-gram with it) ->
+    PII-clean. Each stage REUSES the registered operator (same code
+    path the standalone queries run), so the funnel is an integration
+    proof, not a reimplementation.
+
+    Scale shape: one pass computes per-doc flags (two broadcast-safe
+    joins on doc_id for the lang/quality flags); the only auxiliary
+    aggregates are the dedup canonical map (hash-keyed, map-side
+    combinable) and decontaminate's broadcast eval index; survival
+    indicators then collapse through ONE global aggregate into a
+    7-row funnel — no per-stage recount jobs, nothing driver-side.
+    The funnel counts survivors cumulatively, so each count is
+    necessarily <= the previous (pinned by test)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lang = lang_id_heuristic(spark, sf_dir).select(
+        "doc_id", "predicted_lang")
+    goph = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id",
+        (F.col("passes_length") & F.col("passes_word_len")
+         & F.col("passes_repetition")).alias("passes_gopher"))
+    is_eval = _h(F.col("doc_id").cast("string")) % 20 == 0
+    f = docs.join(lang, "doc_id").join(goph, "doc_id", "left")
+    s2 = F.length(F.trim("text")) > 0
+    s3 = s2 & (F.col("predicted_lang") == "en")
+    f = f.withColumn(
+        "s4", s3 & F.coalesce("passes_gopher", F.lit(False))) \
+        .withColumn("th", _h(F.col("text")))
+    canon = (f.where("s4").groupBy("th")
+             .agg(F.min("doc_id").alias("keep_id")))
+    f = f.join(canon, "th", "left").withColumn(
+        "s5", F.col("s4") & (F.col("doc_id") == F.col("keep_id")))
+    decon_input = (
+        docs.where(is_eval)
+        .unionByName(f.where("s5").where(~is_eval)
+                     .select("doc_id", "text")))
+    dec = decontaminate(decon_input).select("doc_id", "flagged")
+    f = f.join(dec, "doc_id", "left")
+    s6 = (F.col("s5") & ~is_eval
+          & ~F.coalesce("flagged", F.lit(False)))
+    n_pii = sum((F.regexp_count("text", F.lit(pat))
+                 for _, pat, _ in PII_PATTERNS), F.lit(0))
+    s7 = s6 & (n_pii == 0)
+    row = f.agg(
+        F.count("*").alias("c1"),
+        F.sum(s2.cast("int")).alias("c2"),
+        F.sum(s3.cast("int")).alias("c3"),
+        F.sum(F.col("s4").cast("int")).alias("c4"),
+        F.sum(F.col("s5").cast("int")).alias("c5"),
+        F.sum(s6.cast("int")).alias("c6"),
+        F.sum(s7.cast("int")).alias("c7"))
+    stack = "stack(7, " + ", ".join(
+        f"{i}L, '{name}', c{i}"
+        for i, name in enumerate(_FUNNEL_STAGES, start=1)
+    ) + ") AS (stage_idx, stage, n_surviving)"
+    return row.selectExpr(stack)
+
+
+_CONV_FUNNEL_STAGES = ("all", "length_window", "line_quality",
+                       "exact_dedup", "decontaminated", "pii_clean")
+
+
+def _conv_funnel_oracle_template() -> str:
+    """DuckDB mirror of conversation_curation_funnel over the
+    drift-gated conversation_documents golden ({path} re-rendered per
+    scale by check_oracles)."""
+    is_eval = f"{_EVAL_H_SQL} % 20 = 0"
+    th = _H_SQL.format(expr="text")
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat, _ in PII_PATTERNS)
+    decon_sql = _decon_oracle_sql(
+        "SELECT doc_id, string_split(text, ' ') AS w FROM decon_input")
+    return f"""
+WITH docs AS (SELECT conv_id AS doc_id, document AS text
+              FROM read_parquet('{{path}}')),
+base AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_distinct(string_split(text, chr(10)))) AS n_distinct
+  FROM docs),
+s2 AS (SELECT doc_id, text FROM base
+       WHERE n_words BETWEEN 50 AND 100000),
+s3 AS (SELECT doc_id, text FROM base
+       WHERE n_words BETWEEN 50 AND 100000
+         AND round(cast(n_distinct AS double) / n_lines, 6) >= 0.7),
+s4 AS (SELECT s3.doc_id, s3.text FROM s3
+       JOIN (SELECT {th} AS th, min(doc_id) AS keep_id
+             FROM s3 GROUP BY 1) k
+         ON {_H_SQL.format(expr='s3.text')} = k.th
+        AND s3.doc_id = k.keep_id),
+decon_input AS (
+  SELECT doc_id, text FROM docs WHERE {is_eval}
+  UNION ALL
+  SELECT doc_id, text FROM s4 WHERE NOT ({is_eval})),
+decon AS (SELECT * FROM ({decon_sql}) t),
+s5 AS (SELECT doc_id, text FROM s4 LEFT JOIN decon USING (doc_id)
+       WHERE NOT ({is_eval})
+         AND coalesce(decon.contamination_frac, 0) < 0.5),
+s6 AS (SELECT doc_id FROM s5 WHERE {pii_total} = 0)
+SELECT cast(1 AS bigint) AS stage_idx, 'all' AS stage,
+       (SELECT cast(count(*) AS bigint) FROM docs) AS n_surviving
+UNION ALL SELECT 2, 'length_window', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'line_quality', (SELECT count(*) FROM s3)
+UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM s4)
+UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)
+UNION ALL SELECT 6, 'pii_clean', (SELECT count(*) FROM s6)
+"""
+
+
+@_register("conversation_curation_funnel")
+def conversation_curation_funnel(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Curation funnel over RENDERED CONVERSATIONS (the north-rule
+    surface), where every stage provably drops rows on the synthetic
+    corpus: length window (Gopher's 50-100k words; the hot-conversation
+    tail exceeds it at larger scales) -> line-repetition gate (intra-
+    conversation distinct-line fraction >= 0.7 — the C4 duplicate-line
+    signal; the template-stuck conversations fail it) -> exact dedup
+    (the planted replay conversations collapse onto their sources) ->
+    benchmark decontamination (held-out eval sample dropped, plus any
+    conversation with >= 50% of its 13-grams in the eval set — the
+    fraction threshold, not any-hit, because template-built corpora
+    share incidental n-grams corpus-wide; an any-hit rule provably
+    empties this corpus while replays of eval conversations sit at
+    100% containment) -> PII-clean
+    (the planted email+phone template). Same one-aggregate flag-algebra
+    shape as curation_funnel; decontaminate and the PII patterns are
+    the exact operators the standalone queries run. Computed DuckDB
+    oracle from the drift-gated conversation_documents golden."""
+    docs = _rendered_docs(spark, sf_dir)
+    lines = F.split("text", "\n")
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    distinct_frac = F.round(
+        F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines), 6)
+    is_eval = _h(F.col("doc_id").cast("string")) % 20 == 0
+    f = (docs
+         .withColumn("s2", n_words.between(50, 100000))
+         .withColumn("s3", F.col("s2") & (distinct_frac >= 0.7))
+         .withColumn("th", _h(F.col("text"))))
+    canon = (f.where("s3").groupBy("th")
+             .agg(F.min("doc_id").alias("keep_id")))
+    f = f.join(canon, "th", "left").withColumn(
+        "s4", F.col("s3") & (F.col("doc_id") == F.col("keep_id")))
+    decon_input = (
+        docs.where(is_eval)
+        .unionByName(f.where("s4").where(~is_eval)
+                     .select("doc_id", "text")))
+    dec = decontaminate(decon_input).select(
+        "doc_id", "contamination_frac")
+    f = f.join(dec, "doc_id", "left")
+    s5 = (F.col("s4") & ~is_eval
+          & (F.coalesce("contamination_frac", F.lit(0.0)) < 0.5))
+    n_pii = sum((F.regexp_count("text", F.lit(pat))
+                 for _, pat, _ in PII_PATTERNS), F.lit(0))
+    s6 = s5 & (n_pii == 0)
+    row = f.agg(
+        F.count("*").alias("c1"),
+        F.sum(F.col("s2").cast("int")).alias("c2"),
+        F.sum(F.col("s3").cast("int")).alias("c3"),
+        F.sum(F.col("s4").cast("int")).alias("c4"),
+        F.sum(s5.cast("int")).alias("c5"),
+        F.sum(s6.cast("int")).alias("c6"))
+    stack = "stack(6, " + ", ".join(
+        f"{i}L, '{name}', c{i}"
+        for i, name in enumerate(_CONV_FUNNEL_STAGES, start=1)
+    ) + ") AS (stage_idx, stage, n_surviving)"
+    return row.selectExpr(stack)
+
+
 @_register("dedup_simhash", f"""
 WITH words AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
@@ -2966,6 +3194,8 @@ GOLDEN_INPUT_ORACLE_TEMPLATES = {
         "SELECT conv_id AS doc_id, document AS text "
         "FROM read_parquet('{path}')", id_alias="conv_id"),
         "conversation_documents"),
+    "conversation_curation_funnel": (_conv_funnel_oracle_template(),
+                                     "conversation_documents"),
 }
 for _name, (_template, _fixture) in GOLDEN_INPUT_ORACLE_TEMPLATES.items():
     # literal replace, NOT str.format: the PII oracle embeds regex

@@ -633,3 +633,32 @@ def test_pack_training_sequences_tiles_exactly(spark):
             assert doc_from == covered
             covered += width
         assert covered > 0
+
+
+def test_curation_funnels_monotone_and_nonvacuous(spark):
+    """Both curation funnels: counts are cumulative (non-increasing by
+    stage), stage 1 equals the input row count, and the conversation
+    funnel's every stage from exact_dedup on genuinely drops rows on
+    the synthetic corpus (replays, eval sample, planted PII)."""
+    from material_parsers_spark.queries import SPARK_QUERIES, _read
+
+    sf = "/root/testdata/sf0.001"
+    rows = (SPARK_QUERIES["curation_funnel"](spark, sf)
+            .orderBy("stage_idx").collect())
+    counts = [r.n_surviving for r in rows]
+    assert len(rows) == 7
+    assert counts[0] == _read(spark, sf, "documents").count()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+    crows = (SPARK_QUERIES["conversation_curation_funnel"](spark, sf)
+             .orderBy("stage_idx").collect())
+    ccounts = [r.n_surviving for r in crows]
+    assert len(crows) == 6
+    assert all(a >= b for a, b in zip(ccounts, ccounts[1:]))
+    # exact_dedup (idx 4) must drop the planted replays, the decon
+    # stage must drop the eval sample, and PII must drop flagged
+    # conversations — and survivors must remain
+    assert ccounts[3] < ccounts[2]
+    assert ccounts[4] < ccounts[3]
+    assert ccounts[5] < ccounts[4]
+    assert ccounts[5] > 0
