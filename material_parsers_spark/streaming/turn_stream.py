@@ -91,6 +91,33 @@ def run_stream_once(spark: SparkSession, input_dir: str, output_dir: str,
     query.awaitTermination()
 
 
+def streaming_exact_dedup(turns: DataFrame,
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Streaming EXACT DEDUP: emit only the first occurrence of each
+    turn text as the stream arrives — the online counterpart of the
+    batch ``dedup_exact`` query (same 60-bit md5-prefix text hash, so
+    the two surfaces agree on what "identical" means).
+
+    Scale shape: ``dropDuplicatesWithinWatermark`` keys the state store
+    on the 16-byte hash, not the payload, and EVICTS seen-hash state
+    older than the event-time watermark — state is bounded by the
+    duplicate-arrival horizon instead of growing with the stream
+    forever (the unbounded ``dropDuplicates`` trap). A duplicate
+    arriving after the horizon re-emits; for transcript turns the
+    near-simultaneous duplicate (retry storms, fan-out echo) is the
+    case that matters, and the periodic batch dedup sweep remains the
+    backstop for long-range duplicates."""
+    text_hash = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10) \
+        .cast("long")  # = queries._h — keep the two in lockstep
+    return (
+        turns
+        .where(F.col("text").isNotNull())
+        .withColumn("text_hash", text_hash)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 CONV_STATE_OUTPUT = ("conv_id string, n_turns bigint, n_chars bigint, "
                      "last_ts timestamp, closed boolean")
 CONV_STATE_SCHEMA = "n_turns bigint, n_chars bigint, last_ts_us bigint"

@@ -159,3 +159,44 @@ def test_streaming_web_extraction_drain_matches_batch(spark):
         assert _json.loads(_json.dumps(got)) == _json.loads(_json.dumps(want))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_drains_to_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over the turn stream: an
+    availableNow drain emits exactly one row per distinct turn text
+    (the synthetic corpus cycles templates, so real duplicates exist),
+    matching the batch distinct-hash count; no hash is emitted twice."""
+    from pyspark.sql import functions as F
+
+    from material_parsers_spark.pipeline.transcripts import generate_turns
+    from material_parsers_spark.streaming.turn_stream import (
+        read_turn_stream, streaming_exact_dedup)
+
+    input_dir = tmp_path / "in"
+    turns = generate_turns(spark, 300, partitions=2).cache()
+    for index, part in enumerate([(0, 100), (100, 200), (200, 300)]):
+        (turns.where((F.col("ts").cast("long") - 1700000000)
+                     .between(part[0], part[1] - 1))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(input_dir / f"batch-{index}")))
+
+    deduped = streaming_exact_dedup(
+        read_turn_stream(spark, str(input_dir / "batch-*"),
+                         max_files_per_trigger=1))
+    query = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    rows = spark.sql("SELECT text_hash FROM dedup_stream").collect()
+    assert rows, "dedup stream produced no rows"
+    hashes = [r.text_hash for r in rows]
+    assert len(hashes) == len(set(hashes)), "a hash was emitted twice"
+    expected = (turns.where(F.col("text").isNotNull())
+                .select("text").distinct().count())
+    assert len(hashes) == expected
+    assert turns.count() > expected, "corpus has no duplicate texts"
