@@ -1170,8 +1170,11 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
     return _ngrams_df(docs, 3).withColumnRenamed("ngrams", "shingles")
 
 
-def _ngrams_df(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, ngrams array) of distinct word n-grams.
+def _ngrams_df(docs: DataFrame, n: int, distinct: bool = True) -> DataFrame:
+    """(doc_id, ngrams array) of word n-grams — distinct by default
+    (containment semantics); ``distinct=False`` keeps one entry per word
+    position, so ``posexplode`` yields (start position, gram) pairs for
+    span-level consumers.
 
     CRITICAL SHAPE: no lambda may reference the `words` column. Binding
     the split as a named column is NOT enough — CollapseProject inlines
@@ -1191,9 +1194,10 @@ def _ngrams_df(docs: DataFrame, n: int) -> DataFrame:
     for k in range(2, n + 1):
         acc = F.zip_with(acc, F.slice(words, k, cnt),
                          lambda a, b: F.concat_ws(" ", a, b))
+    out = F.array_distinct(acc) if distinct else acc
     return (docs.select("doc_id", F.split("text", " ").alias("words"))
             .where(F.size(words) >= n)
-            .select("doc_id", F.array_distinct(acc).alias("ngrams")))
+            .select("doc_id", out.alias("ngrams")))
 
 
 def _minhash_bands(docs: DataFrame) -> DataFrame:
@@ -1794,6 +1798,127 @@ def conversation_decontaminate(spark: SparkSession,
     (GOLDEN_INPUT_ORACLE_TEMPLATES)."""
     return decontaminate(_rendered_docs(spark, sf_dir)) \
         .withColumnRenamed("doc_id", "conv_id")
+
+
+def decontaminate_spans(docs: DataFrame, n: int = 13,
+                        eval_mod: int = 20) -> DataFrame:
+    """SPAN-LEVEL decontamination repair: instead of dropping a
+    contaminated document wholesale (what `decontaminate`'s flag
+    supports), excise exactly the word positions covered by any n-gram
+    shared with the held-out eval set and keep the rest — the
+    surgical variant frontier pipelines apply to long documents where
+    a single quoted benchmark item should not cost the whole text.
+
+    Semantics: a word at position j is removed iff some matched n-gram
+    starts at s with s <= j <= s+n-1 (covered positions are the UNION
+    of all matched gram windows). Emits one row per non-eval document
+    with >= n words — the same row universe as `decontaminate` — with
+    the match count, removed-word count and the 60-bit hash of the
+    cleaned text (payload stays on the executors; only the hash comes
+    back, the house rule for text-rewriting operators).
+
+    Scale shape (100 TB verdict): the eval gram set is broadcast (the
+    eval side is a benchmark suite, small by definition); the corpus
+    side is one positional n-gram explode feeding a broadcast
+    semi-join and one per-doc aggregate that reuses the pre-explode
+    doc_id partitioning — the corpus crosses exactly one Exchange.
+    The rebuild filter is O(words x matched_spans) per document; in
+    production the >= 50% contaminated tail (eval replays) should be
+    DROPPED by the funnel's fraction rule before span repair, which
+    bounds matched_spans per surviving doc."""
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    is_eval = _h(F.col("doc_id").cast("string")) % eval_mod == 0
+    grams_pos = (
+        _ngrams_df(docs, n, distinct=False)
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", F.posexplode("ngrams").alias("pos", "gram"))
+        .select("doc_id", "pos", _h(F.col("gram")).alias("gram_h"),
+                is_eval.alias("is_eval"))
+    )
+    eval_grams = (grams_pos.where("is_eval")
+                  .select("gram_h").distinct())
+    starts = (
+        grams_pos.where(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+    base = (docs.where(~is_eval)
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .where(F.size("w") >= n))
+    empty = F.array().cast("array<int>")
+    joined = base.join(starts, "doc_id", "left").select(
+        "doc_id", "w", F.coalesce("starts", empty).alias("starts"))
+    kept = F.filter(
+        F.col("w"),
+        lambda x, j: ~F.exists(
+            F.col("starts"),
+            lambda s: (j >= s) & (j <= s + F.lit(n - 1))))
+    out = joined.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size("starts").cast("int").alias("n_contaminated_grams"),
+        kept.alias("kept"))
+    n_removed = F.col("n_words") - F.size("kept")
+    return out.select(
+        "doc_id", "n_words", "n_contaminated_grams",
+        n_removed.cast("long").alias("n_removed_words"),
+        F.round(n_removed.cast("double") / F.col("n_words"), 6)
+        .alias("removed_frac"),
+        _h(F.concat_ws(" ", "kept")).alias("cleaned_hash"),
+    )
+
+
+def _decon_spans_oracle_sql(docs_sql: str,
+                            id_alias: str = "doc_id") -> str:
+    """DuckDB mirror of `decontaminate_spans` over any (doc_id, w) CTE.
+    DuckDB lambda indexes are 1-based where Spark's are 0-based; both
+    sides normalize to 0-based positions before comparing windows."""
+    return f"""
+WITH docs AS ({docs_sql}),
+base AS (SELECT doc_id, w FROM docs
+         WHERE len(w) >= 13 AND NOT ({_EVAL_H_SQL} % 20 = 0)),
+egrams AS (
+  SELECT DISTINCT {_H_SQL.format(expr='gram')} AS gram_h
+  FROM (SELECT unnest(list_transform(
+            generate_series(1, greatest(len(w) - 12, 0)),
+            i -> {_NGRAM13_CONCAT})) AS gram
+        FROM docs
+        WHERE len(w) >= 13 AND {_EVAL_H_SQL} % 20 = 0)),
+pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_H_SQL.format(expr=_NGRAM13_CONCAT)} AS gram_h
+  FROM base, unnest(generate_series(1, len(w) - 12)) AS u(i)),
+starts AS (
+  SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+  FROM pos JOIN egrams USING (gram_h) GROUP BY doc_id),
+rebuilt AS (
+  SELECT b.doc_id,
+         cast(len(b.w) AS bigint) AS n_words,
+         cast(coalesce(len(s.starts), 0) AS int)
+           AS n_contaminated_grams,
+         list_filter(b.w, (x, j) -> len(list_filter(
+             coalesce(s.starts, cast([] AS bigint[])),
+             st -> st <= j - 1 AND j - 1 <= st + 12)) = 0) AS kept
+  FROM base b LEFT JOIN starts s USING (doc_id))
+SELECT doc_id AS {id_alias}, n_words, n_contaminated_grams,
+       cast(n_words - len(kept) AS bigint) AS n_removed_words,
+       round(cast(n_words - len(kept) AS double) / n_words, 6)
+         AS removed_frac,
+       {_H_SQL.format(expr="coalesce(array_to_string(kept, ' '), '')")}
+         AS cleaned_hash
+FROM rebuilt
+"""
+
+
+@_register("decontaminate_span_removal", _decon_spans_oracle_sql(
+    "SELECT doc_id, string_split(text, ' ') AS w FROM documents"))
+def decontaminate_span_removal(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Span-level decontamination repair over the documents table (see
+    decontaminate_spans for semantics and the at-scale plan shape)."""
+    return decontaminate_spans(_read(spark, sf_dir, "documents"))
 
 
 # PII patterns shared by the Spark operator and its DuckDB oracle —

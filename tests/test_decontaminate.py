@@ -46,6 +46,12 @@ def contaminated_dir(spark, tmp_path_factory):
     rows.append((2, " ".join(f"clean{k}" for k in range(15)), "en"))
     # corpus doc 3: under 13 words -> no row at all
     rows.append((3, "too short for thirteen", "en"))
+    # corpus doc 4: two disjoint eval windows around a clean word ->
+    # span repair must excise the union and keep only "mid"
+    rows.append((4, f"{COMMON_13} mid {COMMON_13}", "en"))
+    # corpus doc 5: exactly the eval 13-gram -> kept set is EMPTY
+    # (pins the concat_ws("")/array_to_string(NULL) parity edge)
+    rows.append((5, COMMON_13, "en"))
     df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
     df.write.mode("overwrite").parquet(str(base / "documents.parquet"))
     return str(base)
@@ -72,6 +78,54 @@ def test_planted_contamination_flags_and_cap(spark, contaminated_dir):
     assert r2.contamination_frac == 0.0
     # doc 3: too short for any 13-gram -> absent
     assert 3 not in rows
+
+
+def _h64(text: str) -> int:
+    return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+
+def test_span_removal_excises_covered_positions(spark, contaminated_dir):
+    rows = {r.doc_id: r for r in SPARK_QUERIES["decontaminate_span_removal"](
+        spark, contaminated_dir).collect()}
+    assert all(not _is_eval(d) for d in rows)
+    # doc 1: one matched gram at position 0 -> words 0..12 removed,
+    # the two unique tail words survive
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_contaminated_grams) == (15, 1)
+    assert r1.n_removed_words == 13
+    assert r1.cleaned_hash == _h64("unique1a unique1b")
+    # doc 2: clean -> nothing removed, hash of the original text
+    r2 = rows[2]
+    assert r2.n_contaminated_grams == 0 and r2.n_removed_words == 0
+    assert r2.cleaned_hash == _h64(" ".join(f"clean{k}" for k in range(15)))
+    # doc 3: under 13 words -> absent (same row universe as the flag op)
+    assert 3 not in rows
+    # doc 4: matched windows at positions 0 and 14 -> union covers all
+    # but the middle word
+    r4 = rows[4]
+    assert (r4.n_words, r4.n_contaminated_grams) == (27, 2)
+    assert r4.n_removed_words == 26
+    assert r4.cleaned_hash == _h64("mid")
+    # doc 5: fully contaminated -> empty kept set hashes the empty string
+    r5 = rows[5]
+    assert (r5.n_removed_words, r5.removed_frac) == (13, 1.0)
+    assert r5.cleaned_hash == _h64("")
+
+
+def test_span_removal_fixture_oracle_parity(spark, contaminated_dir):
+    df = SPARK_QUERIES["decontaminate_span_removal"](spark, contaminated_dir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{contaminated_dir}/documents.parquet/*.parquet'")
+    result = con.execute(ORACLE_SQL["decontaminate_span_removal"])
+    oracle_rows = result.fetchall()
+    oracle_cols = [d[0] for d in result.description]
+    assert len(spark_rows) == len(oracle_rows)
+    assert sorted(df.columns) == sorted(oracle_cols)
+    assert value_hash(spark_rows, df.columns) == \
+        value_hash(oracle_rows, oracle_cols)
 
 
 def test_fixture_oracle_parity(spark, contaminated_dir):
