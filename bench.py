@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_components",  # representative-edge connected components
     "dedup_containment",      # MOSS-style winnowing containment pairs
     "decontaminate_ngrams",   # 13-gram eval-set contamination flags
+    "decontaminate_span_removal",  # span-level contamination repair
     "conversation_decontaminate",  # same operator over rendered convs
     "conversation_pii_scrub",  # regex PII detect+redact (JVM-only)
     "conversation_line_dedup",  # C4-style shared-line census

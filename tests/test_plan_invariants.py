@@ -81,3 +81,25 @@ def test_decontaminate_broadcasts_eval_index_single_corpus_exchange(spark):
     # the broadcast build side contains the eval branch's exchanges
     corpus_side = plan.split("BroadcastExchange")[0]
     assert len(re.findall(r"\bExchange hashpartitioning", corpus_side)) == 1
+
+
+def test_span_removal_broadcasts_and_bounds_exchanges(spark):
+    """Pins the span-repair scale shape: both joins resolve broadcast
+    (eval gram set by construction; the starts->rebuild join via AQE at
+    this size — at scale it may fall back to sort-merge, which is the
+    correct adaptive behavior, but it must never shuffle the REBUILD
+    side redundantly here), the rebuild (base) lineage above the first
+    broadcast pays ZERO shuffles, and the whole plan holds at three
+    hash exchanges: corpus-gram repartition, eval-gram repartition,
+    eval-gram distinct."""
+    import re
+
+    df = SPARK_QUERIES["decontaminate_span_removal"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    base_side = plan.split("BroadcastExchange")[0]
+    assert len(re.findall(r"\bExchange hashpartitioning", base_side)) == 0
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 3
