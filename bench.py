@@ -44,6 +44,7 @@ HEADLINE = [
     "conversation_pii_scrub",  # regex PII detect+redact (JVM-only)
     "conversation_line_dedup",  # C4-style shared-line census
     "pack_training_sequences",  # sharded fixed-length packing manifest
+    "domain_mixture",         # per-domain epoch-upsampling manifest
     "conversation_curation_funnel",  # end-to-end curation pipeline
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity

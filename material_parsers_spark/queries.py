@@ -3062,6 +3062,103 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target mixture over the documents table's lang column (the "domain"
+# axis the synthetic corpus has). Constants are part of the operator's
+# contract — the DuckDB oracle inlines the same values.
+MIXTURE_WEIGHTS = [("en", 0.5), ("de", 0.15), ("fr", 0.15),
+                   ("es", 0.1), ("zh", 0.1)]
+MIXTURE_BUDGET_FACTOR = 2.0  # token budget = 2x the corpus total
+
+
+def domain_mixture_manifest(docs: DataFrame) -> DataFrame:
+    """Domain-mixture epoch manifest — the Pile/Llama-style data-recipe
+    step: given per-domain target weights and a total token budget,
+    upsample each domain to repeat_factor = w_d * budget / tokens_d
+    epochs.  Every document emits one manifest row per FULL epoch
+    (0..floor(r)-1) plus membership in the fractional last epoch decided
+    by a deterministic per-(doc, epoch) hash threshold — reproducible,
+    no rand(), and the realized token mass converges to the target
+    mixture at any corpus size.
+
+    Scale shape (100 TB verdict): per-domain token totals are one
+    map-side-combined aggregate whose exchange carries #domains x
+    #partitions rows; the resulting #domains-row dim (weights joined,
+    repeat factors computed) is BROADCAST back onto the corpus, and the
+    epoch fan-out is a map-side explode — the corpus itself crosses
+    ZERO shuffles.  Upsampling is manifest-only (doc_id repeated, text
+    never copied), which is how production recipes feed their samplers."""
+    spark = docs.sparkSession
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    docs2 = docs.select("doc_id", F.col("lang").alias("domain"),
+                        n_tok.alias("n_tokens"))
+    weights = spark.createDataFrame(MIXTURE_WEIGHTS, "domain string, w double")
+    # the token budget is budget_factor x the WEIGHTED corpus' tokens:
+    # unweighted domains are out of the recipe entirely, so they must
+    # not inflate the target either
+    stats = (docs2.groupBy("domain")
+             .agg(F.sum("n_tokens").cast("double").alias("d_tokens"))
+             .join(weights, "domain"))
+    total = stats.agg(F.sum("d_tokens").alias("t"))
+    # r's arithmetic shape ((w * budget) * T) / d is part of the oracle
+    # contract: every operand is a double and each step is one IEEE op,
+    # so both engines compute bit-identical repeat factors
+    dim = (stats
+           .crossJoin(F.broadcast(total))
+           .select("domain",
+                   (F.col("w") * F.lit(MIXTURE_BUDGET_FACTOR) * F.col("t")
+                    / F.col("d_tokens")).alias("r"))
+           .select("domain", "r", F.floor("r").alias("full")))
+    out = (docs2.join(F.broadcast(dim), "domain")
+           .select("doc_id", "domain", "n_tokens", "r", "full",
+                   F.explode(F.sequence(F.lit(0).cast("long"),
+                                        F.col("full"))).alias("epoch")))
+    thresh = F.floor((F.col("r") - F.col("full")) * F.lit(1e6)).cast("long")
+    epoch_h = _h(F.concat_ws(":", F.col("doc_id").cast("string"),
+                             F.col("epoch").cast("string")))
+    keep = (F.col("epoch") < F.col("full")) | \
+        (F.pmod(epoch_h, F.lit(1000000)) < thresh)
+    return out.where(keep).select(
+        "doc_id", "domain", F.col("epoch").cast("bigint").alias("epoch"),
+        "n_tokens", F.round("r", 6).alias("repeat_factor"))
+
+
+_MIXTURE_W_SQL = ", ".join(
+    f"('{d}', cast({w} AS double))" for d, w in MIXTURE_WEIGHTS)
+
+
+@_register("domain_mixture", f"""
+WITH w(lang, w) AS (VALUES {_MIXTURE_W_SQL}),
+stats AS (
+  SELECT lang, w,
+         cast(sum(len(string_split(text, ' '))) AS double) AS d_tokens
+  FROM documents JOIN w USING (lang) GROUP BY lang, w),
+tot AS (SELECT sum(d_tokens) AS t FROM stats),
+dim AS (
+  SELECT s.lang, s.w * cast(2.0 AS double) * tot.t / s.d_tokens AS r
+  FROM stats s, tot),
+x AS (
+  SELECT d.doc_id, d.lang,
+         cast(len(string_split(d.text, ' ')) AS bigint) AS n_tokens,
+         dim.r, cast(floor(dim.r) AS bigint) AS "full"
+  FROM documents d JOIN dim ON d.lang = dim.lang),
+e AS (
+  SELECT doc_id, lang, n_tokens, r, "full",
+         unnest(generate_series(0, "full")) AS epoch
+  FROM x)
+SELECT doc_id, lang AS domain, cast(epoch AS bigint) AS epoch, n_tokens,
+       round(r, 6) AS repeat_factor
+FROM e
+WHERE epoch < "full"
+   OR {_H_SQL.format(
+       expr="cast(doc_id AS varchar) || ':' || cast(epoch AS varchar)")}
+      % 1000000 < cast(floor((r - "full") * 1e6) AS bigint)
+""")
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture epoch-upsampling manifest over the documents table
+    (see domain_mixture_manifest for semantics and the at-scale plan)."""
+    return domain_mixture_manifest(_read(spark, sf_dir, "documents"))
+
+
 @_register("multimodal_features", f"""
 SELECT doc_id,
        cast(octet_length(encode(text)) AS bigint) AS n_bytes,

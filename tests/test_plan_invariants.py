@@ -103,3 +103,22 @@ def test_span_removal_broadcasts_and_bounds_exchanges(spark):
     base_side = plan.split("BroadcastExchange")[0]
     assert len(re.findall(r"\bExchange hashpartitioning", base_side)) == 0
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 3
+
+
+def test_domain_mixture_corpus_crosses_zero_shuffles(spark):
+    """Pins the mixture-manifest scale shape: the #domains-row dim
+    (token totals + weights + repeat factors) is built from two TINY
+    aggregate exchanges and BROADCAST onto the corpus; the corpus
+    lineage itself — scan, broadcast join, epoch explode, hash filter —
+    pays ZERO shuffles."""
+    import re
+
+    df = SPARK_QUERIES["domain_mixture"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert len(re.findall(r"\bExchange hashpartitioning", corpus_side)) == 0
+    # the dim subtree: per-domain agg + total agg, nothing else
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
