@@ -43,6 +43,7 @@ HEADLINE = [
     "conversation_decontaminate",  # same operator over rendered convs
     "conversation_pii_scrub",  # regex PII detect+redact (JVM-only)
     "conversation_line_dedup",  # C4-style shared-line census
+    "conversation_line_repair",  # C4-style duplicate-line excision
     "pack_training_sequences",  # sharded fixed-length packing manifest
     "domain_mixture",         # per-domain epoch-upsampling manifest
     "conversation_curation_funnel",  # end-to-end curation pipeline

@@ -2068,6 +2068,102 @@ GROUP BY doc_id
 """
 
 
+def line_dedup_repair(docs: DataFrame, id_col: str = "doc_id",
+                      sep: str = "\n") -> DataFrame:
+    """C4-style line-dedup REPAIR: where line_dedup_stats only counts
+    cross-document duplicate lines, this removes them — every
+    byte-identical non-empty line that occurs in more than one document
+    is kept only in its canonical owner (the smallest doc_id containing
+    it) and excised everywhere else. Empty lines are structure, never
+    removed. Emits one row per document with the removal counts and the
+    60-bit hash of the rebuilt text (payload stays on the executors —
+    the same contract as the span-removal repair).
+
+    Scale shape (100 TB verdict): only (doc_id, pos, line_hash) triples
+    ever cross a shuffle — never line text. The owner/count aggregate is
+    map-side combinable keyed on the hash; its join back against the
+    positions is one-row-per-key on the build side, so a viral line
+    (canned greeting in millions of docs) fans nothing out and AQE can
+    split the probe side on skew. Removed POSITIONS collapse per doc
+    (small ints) and the rebuild joins them onto the original docs —
+    broadcast while the docs-with-removals set is small (AQE decides),
+    one sort-merge exchange of the corpus otherwise; the line PAYLOAD
+    never rides the hash-keyed aggregates either way."""
+    lines_pos = (
+        docs.select(id_col, F.posexplode(F.split("text", sep))
+                    .alias("pos", "line"))
+        .where(F.length("line") > 0)
+        .select(id_col, "pos", _h(F.col("line")).alias("line_h"))
+    )
+    owners = lines_pos.groupBy("line_h").agg(
+        F.min(id_col).alias("owner"),
+        F.countDistinct(id_col).alias("n_docs"))
+    removed = (
+        lines_pos.join(owners, "line_h")
+        .where((F.col("n_docs") > 1) & (F.col("owner") != F.col(id_col)))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("removed"))
+    )
+    base = docs.select(id_col, F.split("text", sep).alias("lines"))
+    empty = F.array().cast("array<int>")
+    joined = base.join(removed, id_col, "left").select(
+        id_col, "lines", F.coalesce("removed", empty).alias("removed"))
+    kept = F.filter(
+        F.col("lines"),
+        lambda x, j: ~F.exists(F.col("removed"), lambda p: p == j))
+    out = joined.select(
+        id_col,
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("removed").cast("long").alias("n_removed_lines"),
+        kept.alias("kept"))
+    return out.select(
+        id_col, "n_lines", "n_removed_lines",
+        F.round(F.col("n_removed_lines").cast("double")
+                / F.col("n_lines"), 6).alias("removed_frac"),
+        _h(F.concat_ws(sep, "kept")).alias("cleaned_hash"),
+    )
+
+
+def _line_repair_oracle_sql(docs_sql: str,
+                            id_alias: str = "doc_id") -> str:
+    """DuckDB mirror of line_dedup_repair over any (doc_id, text) CTE.
+    DuckDB list indexes are 1-based where Spark's are 0-based; positions
+    normalize to 0-based before comparing. array_to_string of an empty
+    list is NULL in DuckDB — coalesce to '' to match concat_ws."""
+    return f"""
+WITH docs AS ({docs_sql}),
+base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+lp AS (
+  SELECT doc_id, j - 1 AS pos, {_H_SQL.format(expr='ls[j]')} AS line_h
+  FROM base, unnest(generate_series(1, len(ls))) t(j)
+  WHERE len(ls[j]) > 0),
+owners AS (
+  SELECT line_h, min(doc_id) AS owner,
+         count(DISTINCT doc_id) AS n_docs
+  FROM lp GROUP BY line_h),
+removed AS (
+  SELECT doc_id, list_sort(list(DISTINCT pos)) AS removed
+  FROM lp JOIN owners USING (line_h)
+  WHERE n_docs > 1 AND owner <> doc_id
+  GROUP BY doc_id),
+rebuilt AS (
+  SELECT b.doc_id,
+         cast(len(b.ls) AS bigint) AS n_lines,
+         cast(coalesce(len(r.removed), 0) AS bigint) AS n_removed_lines,
+         list_filter(b.ls, (x, j) -> len(list_filter(
+             coalesce(r.removed, cast([] AS bigint[])),
+             p -> p = j - 1)) = 0) AS kept
+  FROM base b LEFT JOIN removed r USING (doc_id))
+SELECT doc_id AS {id_alias}, n_lines, n_removed_lines,
+       round(cast(n_removed_lines AS double) / n_lines, 6)
+         AS removed_frac,
+       {_H_SQL.format(
+           expr="coalesce(array_to_string(kept, chr(10)), '')")}
+         AS cleaned_hash
+FROM rebuilt
+"""
+
+
 @_register("conversation_line_dedup")
 def conversation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-duplication census over rendered conversations: a line is a
@@ -2076,6 +2172,18 @@ def conversation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed turns give real signal at every scale. Computed DuckDB
     oracle from the drift-gated conversation_documents golden."""
     return line_dedup_stats(_rendered_docs(spark, sf_dir)) \
+        .withColumnRenamed("doc_id", "conv_id")
+
+
+@_register("conversation_line_repair")
+def conversation_line_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-dedup REPAIR over rendered conversations: canned/replayed
+    turns (byte-identical rendered lines recurring across conversations)
+    are excised from every conversation except the canonical owner —
+    non-vacuous at every scale because the synthetic corpus plants
+    replays and template-cycled turns. Computed DuckDB oracle from the
+    drift-gated conversation_documents golden."""
+    return line_dedup_repair(_rendered_docs(spark, sf_dir)) \
         .withColumnRenamed("doc_id", "conv_id")
 
 
@@ -3413,6 +3521,10 @@ GOLDEN_INPUT_ORACLE_TEMPLATES = {
         "FROM read_parquet('{path}')", id_alias="conv_id"),
         "conversation_documents"),
     "conversation_line_dedup": (_line_dedup_oracle_sql(
+        "SELECT conv_id AS doc_id, document AS text "
+        "FROM read_parquet('{path}')", id_alias="conv_id"),
+        "conversation_documents"),
+    "conversation_line_repair": (_line_repair_oracle_sql(
         "SELECT conv_id AS doc_id, document AS text "
         "FROM read_parquet('{path}')", id_alias="conv_id"),
         "conversation_documents"),
