@@ -118,6 +118,68 @@ def streaming_exact_dedup(turns: DataFrame,
     )
 
 
+def simhash64_col(text_expr: str = "text"):
+    """64-bit SimHash fingerprint of a text column as PURE column
+    algebra (streaming-safe, zero Python, zero shuffle): per-bit signed
+    votes over the DISTINCT-word xxhash64 hashes, so the fingerprint is
+    invariant to word order and repetition — two turns that are the
+    same bag of words collide exactly.
+
+    Expression shape matters (the CollapseProject trap): every lambda
+    references only its own arguments, and the word-hash array is a
+    fold INPUT (evaluated once per evaluation of the fold, never per
+    element). The counts array appears twice as an input below, so the
+    fold runs twice per row — a constant factor, not the O(words x
+    bits) re-evaluation the naive nested-reference shape produces.
+    One fold accumulates 65 counters: set-bit counts for bits 0..63
+    plus the word count in slot 65; a second pass turns majority votes
+    into bits and assembles the fingerprint through an index-carrying
+    struct accumulator."""
+    counts = f"""
+aggregate(
+  transform(array_distinct(split({text_expr}, ' ')), w -> xxhash64(w)),
+  array_repeat(0L, 65),
+  (acc, h) -> zip_with(acc, sequence(0, 64),
+                       (c, b) -> c + if(b = 64, 1L, shiftright(h, b) & 1))
+)"""
+    return F.expr(f"""
+aggregate(
+  zip_with(
+    slice({counts}, 1, 64),
+    array_repeat(element_at({counts}, 65), 64),
+    (c, n) -> if(2 * c > n, 1L, 0L)
+  ),
+  named_struct('b', 0, 'acc', 0L),
+  (s, bit) -> named_struct('b', s.b + 1, 'acc', s.acc + shiftleft(bit, s.b)),
+  s -> s.acc
+)""")
+
+
+def streaming_near_dedup(turns: DataFrame,
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Streaming NEAR dedup: emit only the first arrival of each
+    bag-of-words-identical turn — the online tier between
+    ``streaming_exact_dedup`` (byte-identical) and the batch MinHash
+    suite (Jaccard-similar). Reordered, repeated or re-whitespaced
+    echoes of a seen turn are duplicates here; a single changed word
+    flips the fingerprint and passes through, which is the deliberate
+    precision/recall point for an ONLINE gate (never drop genuinely
+    new content; leave fuzzy matches to the batch sweep).
+
+    Scale shape: the fingerprint is per-row column algebra (no
+    shuffle, no Python); ``dropDuplicatesWithinWatermark`` keys the
+    state store on the 8-byte fingerprint and evicts state older than
+    the event-time watermark, so state is bounded by the
+    duplicate-arrival horizon exactly as in the exact variant."""
+    return (
+        turns
+        .where(F.col("text").isNotNull())
+        .withColumn("simhash64", simhash64_col("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["simhash64"])
+    )
+
+
 CONV_STATE_OUTPUT = ("conv_id string, n_turns bigint, n_chars bigint, "
                      "last_ts timestamp, closed boolean")
 CONV_STATE_SCHEMA = "n_turns bigint, n_chars bigint, last_ts_us bigint"

