@@ -1800,6 +1800,27 @@ def conversation_decontaminate(spark: SparkSession,
         .withColumnRenamed("doc_id", "conv_id")
 
 
+def _excise_positions(base: DataFrame, positions: DataFrame, predicate,
+                      id_col: str = "doc_id",
+                      arr_col: str = "w") -> DataFrame:
+    """Shared rebuild step of the repair operators (span-level
+    decontamination, line-dedup excision): left-join per-document
+    excision POSITIONS onto (id, token-array) rows and keep element j
+    iff NO position p in the document's set satisfies predicate(p, j).
+    `positions` must be (id_col, `positions` array<int>); documents
+    without a row keep everything. Returns base columns plus the
+    coalesced `positions` and the filtered `kept` array — callers
+    project their own counts/hash. Keeping the join/coalesce/filter
+    shape in ONE place keeps the two repair operators in lockstep."""
+    empty = F.array().cast("array<int>")
+    joined = base.join(positions, id_col, "left").select(
+        id_col, arr_col, F.coalesce("positions", empty).alias("positions"))
+    kept = F.filter(
+        F.col(arr_col),
+        lambda x, j: ~F.exists(F.col("positions"), lambda p: predicate(p, j)))
+    return joined.withColumn("kept", kept)
+
+
 def decontaminate_spans(docs: DataFrame, n: int = 13,
                         eval_mod: int = 20) -> DataFrame:
     """SPAN-LEVEL decontamination repair: instead of dropping a
@@ -1842,29 +1863,20 @@ def decontaminate_spans(docs: DataFrame, n: int = 13,
         grams_pos.where(~F.col("is_eval"))
         .join(F.broadcast(eval_grams), "gram_h")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+        .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
     )
     base = (docs.where(~is_eval)
             .select("doc_id", F.split("text", " ").alias("w"))
             .where(F.size("w") >= n))
-    empty = F.array().cast("array<int>")
-    joined = base.join(starts, "doc_id", "left").select(
-        "doc_id", "w", F.coalesce("starts", empty).alias("starts"))
-    kept = F.filter(
-        F.col("w"),
-        lambda x, j: ~F.exists(
-            F.col("starts"),
-            lambda s: (j >= s) & (j <= s + F.lit(n - 1))))
-    out = joined.select(
+    rebuilt = _excise_positions(
+        base, starts, lambda s, j: (j >= s) & (j <= s + F.lit(n - 1)))
+    n_removed = F.size("w") - F.size("kept")
+    return rebuilt.select(
         "doc_id",
         F.size("w").cast("long").alias("n_words"),
-        F.size("starts").cast("int").alias("n_contaminated_grams"),
-        kept.alias("kept"))
-    n_removed = F.col("n_words") - F.size("kept")
-    return out.select(
-        "doc_id", "n_words", "n_contaminated_grams",
+        F.size("positions").cast("int").alias("n_contaminated_grams"),
         n_removed.cast("long").alias("n_removed_words"),
-        F.round(n_removed.cast("double") / F.col("n_words"), 6)
+        F.round(n_removed.cast("double") / F.size("w"), 6)
         .alias("removed_frac"),
         _h(F.concat_ws(" ", "kept")).alias("cleaned_hash"),
     )
@@ -2022,7 +2034,8 @@ def line_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
     are counted once (a doc repeating its own line does not make the
     line cross-document)."""
     lines = (
-        docs.select(id_col, F.explode(F.split("text", sep)).alias("line"))
+        docs.select(id_col, F.explode(F.split("text", f"\\Q{sep}\\E"))
+                    .alias("line"))
         .where(F.length("line") > 0)
         .select(id_col, _h(F.col("line")).alias("line_h"))
         .distinct()
@@ -2089,9 +2102,12 @@ def line_dedup_repair(docs: DataFrame, id_col: str = "doc_id",
     broadcast while the docs-with-removals set is small (AQE decides),
     one sort-merge exchange of the corpus otherwise; the line PAYLOAD
     never rides the hash-keyed aggregates either way."""
+    # \Q..\E: F.split takes a Java REGEX while concat_ws re-joins
+    # literally — quote the separator so regex-meta seps ('|', '.')
+    # split on the literal character and the round trip stays exact
+    split_lines = F.split("text", f"\\Q{sep}\\E")
     lines_pos = (
-        docs.select(id_col, F.posexplode(F.split("text", sep))
-                    .alias("pos", "line"))
+        docs.select(id_col, F.posexplode(split_lines).alias("pos", "line"))
         .where(F.length("line") > 0)
         .select(id_col, "pos", _h(F.col("line")).alias("line_h"))
     )
@@ -2102,24 +2118,17 @@ def line_dedup_repair(docs: DataFrame, id_col: str = "doc_id",
         lines_pos.join(owners, "line_h")
         .where((F.col("n_docs") > 1) & (F.col("owner") != F.col(id_col)))
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("pos")).alias("removed"))
+        .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
     )
-    base = docs.select(id_col, F.split("text", sep).alias("lines"))
-    empty = F.array().cast("array<int>")
-    joined = base.join(removed, id_col, "left").select(
-        id_col, "lines", F.coalesce("removed", empty).alias("removed"))
-    kept = F.filter(
-        F.col("lines"),
-        lambda x, j: ~F.exists(F.col("removed"), lambda p: p == j))
-    out = joined.select(
+    base = docs.select(id_col, split_lines.alias("lines"))
+    rebuilt = _excise_positions(base, removed, lambda p, j: p == j,
+                                id_col=id_col, arr_col="lines")
+    return rebuilt.select(
         id_col,
         F.size("lines").cast("long").alias("n_lines"),
-        F.size("removed").cast("long").alias("n_removed_lines"),
-        kept.alias("kept"))
-    return out.select(
-        id_col, "n_lines", "n_removed_lines",
-        F.round(F.col("n_removed_lines").cast("double")
-                / F.col("n_lines"), 6).alias("removed_frac"),
+        F.size("positions").cast("long").alias("n_removed_lines"),
+        F.round(F.size("positions").cast("double")
+                / F.size("lines"), 6).alias("removed_frac"),
         _h(F.concat_ws(sep, "kept")).alias("cleaned_hash"),
     )
 
@@ -3176,6 +3185,12 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_WEIGHTS = [("en", 0.5), ("de", 0.15), ("fr", 0.15),
                    ("es", 0.1), ("zh", 0.1)]
 MIXTURE_BUDGET_FACTOR = 2.0  # token budget = 2x the corpus total
+# Hard ceiling on per-domain repeat factors: a weighted domain holding a
+# sliver of the corpus would otherwise get an unbounded r = w*B/tokens_d
+# — at 100 TB that is a per-row sequence() array that OOMs an executor,
+# and >16 epochs of the same text is past the point of diminishing
+# returns in every published recipe anyway.
+MIXTURE_MAX_EPOCHS = 16.0
 
 
 def domain_mixture_manifest(docs: DataFrame) -> DataFrame:
@@ -3186,7 +3201,10 @@ def domain_mixture_manifest(docs: DataFrame) -> DataFrame:
     (0..floor(r)-1) plus membership in the fractional last epoch decided
     by a deterministic per-(doc, epoch) hash threshold — reproducible,
     no rand(), and the realized token mass converges to the target
-    mixture at any corpus size.
+    mixture at any corpus size.  Repeat factors are clamped to
+    MIXTURE_MAX_EPOCHS: a weighted sliver domain must not fan a
+    document into an unbounded per-row epoch array (and >16 epochs of
+    the same text has no training value in any published recipe).
 
     Scale shape (100 TB verdict): per-domain token totals are one
     map-side-combined aggregate whose exchange carries #domains x
@@ -3213,8 +3231,9 @@ def domain_mixture_manifest(docs: DataFrame) -> DataFrame:
     dim = (stats
            .crossJoin(F.broadcast(total))
            .select("domain",
-                   (F.col("w") * F.lit(MIXTURE_BUDGET_FACTOR) * F.col("t")
-                    / F.col("d_tokens")).alias("r"))
+                   F.least(F.col("w") * F.lit(MIXTURE_BUDGET_FACTOR)
+                           * F.col("t") / F.col("d_tokens"),
+                           F.lit(MIXTURE_MAX_EPOCHS)).alias("r"))
            .select("domain", "r", F.floor("r").alias("full")))
     out = (docs2.join(F.broadcast(dim), "domain")
            .select("doc_id", "domain", "n_tokens", "r", "full",
@@ -3242,7 +3261,9 @@ stats AS (
   FROM documents JOIN w USING (lang) GROUP BY lang, w),
 tot AS (SELECT sum(d_tokens) AS t FROM stats),
 dim AS (
-  SELECT s.lang, s.w * cast(2.0 AS double) * tot.t / s.d_tokens AS r
+  SELECT s.lang,
+         least(s.w * cast(2.0 AS double) * tot.t / s.d_tokens,
+               cast(16.0 AS double)) AS r
   FROM stats s, tot),
 x AS (
   SELECT d.doc_id, d.lang,

@@ -121,9 +121,14 @@ def streaming_exact_dedup(turns: DataFrame,
 def simhash64_col(text_expr: str = "text"):
     """64-bit SimHash fingerprint of a text column as PURE column
     algebra (streaming-safe, zero Python, zero shuffle): per-bit signed
-    votes over the DISTINCT-word xxhash64 hashes, so the fingerprint is
-    invariant to word order and repetition — two turns that are the
-    same bag of words collide exactly.
+    votes over the DISTINCT-word xxhash64 hashes (empty tokens from
+    runs of whitespace filtered out), so the fingerprint is invariant
+    to word order, repetition and re-whitespacing — two turns that are
+    the same word SET collide exactly.  The converse is probabilistic:
+    a small edit to a LONG turn moves each of the 64 majority counters
+    by at most one vote and may flip no bit, so distinct texts can
+    collide; this is inherent to SimHash-as-a-key and is the documented
+    trade-off of the online tier (see streaming_near_dedup).
 
     Expression shape matters (the CollapseProject trap): every lambda
     references only its own arguments, and the word-hash array is a
@@ -137,7 +142,8 @@ def simhash64_col(text_expr: str = "text"):
     struct accumulator."""
     counts = f"""
 aggregate(
-  transform(array_distinct(split({text_expr}, ' ')), w -> xxhash64(w)),
+  transform(filter(array_distinct(split({text_expr}, ' ')), w -> w <> ''),
+            w -> xxhash64(w)),
   array_repeat(0L, 65),
   (acc, h) -> zip_with(acc, sequence(0, 64),
                        (c, b) -> c + if(b = 64, 1L, shiftright(h, b) & 1))
@@ -161,10 +167,15 @@ def streaming_near_dedup(turns: DataFrame,
     bag-of-words-identical turn — the online tier between
     ``streaming_exact_dedup`` (byte-identical) and the batch MinHash
     suite (Jaccard-similar). Reordered, repeated or re-whitespaced
-    echoes of a seen turn are duplicates here; a single changed word
-    flips the fingerprint and passes through, which is the deliberate
-    precision/recall point for an ONLINE gate (never drop genuinely
-    new content; leave fuzzy matches to the batch sweep).
+    echoes of a seen turn are duplicates here. The drop rule is
+    FINGERPRINT equality, and both directions are approximate: a
+    changed word usually flips bits on short turns but may flip none
+    on a very long one (the edit moves each majority counter by at
+    most one vote), so rare false drops of near-identical long turns
+    are possible within the watermark horizon — acceptable for a
+    dedup gate whose batch MinHash sweep re-adjudicates with real
+    Jaccard similarity; deploy the exact variant instead where any
+    false drop is unacceptable.
 
     Scale shape: the fingerprint is per-row column algebra (no
     shuffle, no Python); ``dropDuplicatesWithinWatermark`` keys the

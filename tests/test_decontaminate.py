@@ -11,6 +11,7 @@ import pytest
 
 from material_parsers_spark.pipeline.session import build_session
 from material_parsers_spark.queries import ORACLE_SQL, SPARK_QUERIES
+from tests.conftest import h60
 from tools.check_oracles import value_hash
 
 
@@ -34,7 +35,7 @@ def contaminated_dir(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("contam")
     eval_ids = [i for i in range(5000) if _is_eval(i)][:40]
     assert len(eval_ids) == 40
-    assert not any(_is_eval(i) for i in (1, 2, 3))
+    assert not any(_is_eval(i) for i in (1, 2, 3, 4, 5))
     rows = []
     # 40 eval docs all containing COMMON_13 (plus a per-doc tail so the
     # docs are distinct): 40 > the 32-member per-gram cap
@@ -80,10 +81,6 @@ def test_planted_contamination_flags_and_cap(spark, contaminated_dir):
     assert 3 not in rows
 
 
-def _h64(text: str) -> int:
-    return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
-
-
 def test_span_removal_excises_covered_positions(spark, contaminated_dir):
     rows = {r.doc_id: r for r in SPARK_QUERIES["decontaminate_span_removal"](
         spark, contaminated_dir).collect()}
@@ -93,11 +90,11 @@ def test_span_removal_excises_covered_positions(spark, contaminated_dir):
     r1 = rows[1]
     assert (r1.n_words, r1.n_contaminated_grams) == (15, 1)
     assert r1.n_removed_words == 13
-    assert r1.cleaned_hash == _h64("unique1a unique1b")
+    assert r1.cleaned_hash == h60("unique1a unique1b")
     # doc 2: clean -> nothing removed, hash of the original text
     r2 = rows[2]
     assert r2.n_contaminated_grams == 0 and r2.n_removed_words == 0
-    assert r2.cleaned_hash == _h64(" ".join(f"clean{k}" for k in range(15)))
+    assert r2.cleaned_hash == h60(" ".join(f"clean{k}" for k in range(15)))
     # doc 3: under 13 words -> absent (same row universe as the flag op)
     assert 3 not in rows
     # doc 4: matched windows at positions 0 and 14 -> union covers all
@@ -105,11 +102,11 @@ def test_span_removal_excises_covered_positions(spark, contaminated_dir):
     r4 = rows[4]
     assert (r4.n_words, r4.n_contaminated_grams) == (27, 2)
     assert r4.n_removed_words == 26
-    assert r4.cleaned_hash == _h64("mid")
+    assert r4.cleaned_hash == h60("mid")
     # doc 5: fully contaminated -> empty kept set hashes the empty string
     r5 = rows[5]
     assert (r5.n_removed_words, r5.removed_frac) == (13, 1.0)
-    assert r5.cleaned_hash == _h64("")
+    assert r5.cleaned_hash == h60("")
 
 
 def test_span_removal_fixture_oracle_parity(spark, contaminated_dir):

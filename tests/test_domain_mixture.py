@@ -5,25 +5,21 @@ an exact-integer repeat factor must emit no fractional epoch at all,
 unweighted domains must drop, and the DuckDB oracle must agree on the
 fixture."""
 
-import hashlib
-
 import duckdb
 import pytest
 
 from material_parsers_spark.pipeline.session import build_session
 from material_parsers_spark.queries import (
     MIXTURE_BUDGET_FACTOR,
+    MIXTURE_MAX_EPOCHS,
     MIXTURE_WEIGHTS,
     ORACLE_SQL,
     SPARK_QUERIES,
 )
+from tests.conftest import h60
 from tools.check_oracles import value_hash
 
 WEIGHTS = dict(MIXTURE_WEIGHTS)
-
-
-def _h60(text: str) -> int:
-    return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
 
 
 @pytest.fixture(scope="module")
@@ -59,13 +55,14 @@ def _python_mirror():
     expected = set()
     for domain, ids, d_tokens in (("en", range(10), 100.0),
                                   ("de", range(100, 110), 100.0)):
-        r = WEIGHTS[domain] * MIXTURE_BUDGET_FACTOR * total / d_tokens
+        r = min(WEIGHTS[domain] * MIXTURE_BUDGET_FACTOR * total / d_tokens,
+                MIXTURE_MAX_EPOCHS)
         full = int(r // 1)
         thresh = int(((r - full) * 1e6) // 1)
         for doc_id in ids:
             for epoch in range(full):
                 expected.add((doc_id, epoch))
-            if _h60(f"{doc_id}:{full}") % 1_000_000 < thresh:
+            if h60(f"{doc_id}:{full}") % 1_000_000 < thresh:
                 expected.add((doc_id, full))
     return expected
 
@@ -88,6 +85,25 @@ def test_epoch_semantics_match_python_mirror(spark, mixture_dir):
     # n_tokens carried per manifest row (manifest-only upsampling:
     # the text itself is never replicated)
     assert all(r.n_tokens == 10 for r in rows)
+
+
+def test_sliver_domain_repeat_factor_is_capped(spark, tmp_path):
+    """A weighted domain holding a sliver of the corpus must clamp to
+    MIXTURE_MAX_EPOCHS full epochs — never an unbounded per-row epoch
+    array (uncapped r here would be 0.5*2000/10 = 100)."""
+    text10 = " ".join(f"w{k}" for k in range(10))
+    rows = [(0, text10, "en")]
+    rows += [(100 + i, text10, "de") for i in range(99)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string")
+    base = tmp_path / "sliver"
+    docs.write.mode("overwrite").parquet(str(base / "documents.parquet"))
+    out = SPARK_QUERIES["domain_mixture"](spark, str(base)).collect()
+    en_rows = [r for r in out if r.domain == "en"]
+    assert len(en_rows) == int(MIXTURE_MAX_EPOCHS)
+    assert sorted(r.epoch for r in en_rows) == \
+        list(range(int(MIXTURE_MAX_EPOCHS)))
+    assert all(r.repeat_factor == MIXTURE_MAX_EPOCHS for r in en_rows)
 
 
 def test_fixture_oracle_parity(spark, mixture_dir):

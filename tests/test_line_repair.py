@@ -5,8 +5,6 @@ without a cross-document twin must be untouched, a fully-duplicated
 document must rebuild to the empty string, and the DuckDB oracle must
 agree on the fixture."""
 
-import hashlib
-
 import duckdb
 import pytest
 
@@ -16,11 +14,8 @@ from material_parsers_spark.queries import (
     line_dedup_repair,
     _line_repair_oracle_sql,
 )
+from tests.conftest import h60
 from tools.check_oracles import value_hash
-
-
-def _h60(text: str) -> int:
-    return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
 
 
 @pytest.fixture(scope="module")
@@ -48,24 +43,24 @@ def repair_rows(spark):
 def test_repair_semantics(repair_rows):
     _, rows = repair_rows
     assert rows[1].n_removed_lines == 0
-    assert rows[1].cleaned_hash == _h60("shared\nonly-one")
+    assert rows[1].cleaned_hash == h60("shared\nonly-one")
     assert rows[2].n_removed_lines == 1
-    assert rows[2].cleaned_hash == _h60("only-two")
+    assert rows[2].cleaned_hash == h60("only-two")
     assert rows[3].n_removed_lines == 0
     # empty line survives; the duplicate before it is excised
     assert rows[4].n_removed_lines == 1
-    assert rows[4].cleaned_hash == _h60("\nkeep-four")
+    assert rows[4].cleaned_hash == h60("\nkeep-four")
     # full removal rebuilds to the empty string
     assert (rows[5].n_removed_lines, rows[5].removed_frac) == (1, 1.0)
-    assert rows[5].cleaned_hash == _h60("")
+    assert rows[5].cleaned_hash == h60("")
     # within-doc repetition with no cross-doc twin is not touched
     assert rows[6].n_removed_lines == 0
-    assert rows[6].cleaned_hash == _h60("twice\ntwice")
+    assert rows[6].cleaned_hash == h60("twice\ntwice")
     # the owner keeps every copy; the non-owner loses its one
     assert rows[7].n_removed_lines == 0
-    assert rows[7].cleaned_hash == _h60("both\nboth")
+    assert rows[7].cleaned_hash == h60("both\nboth")
     assert rows[8].n_removed_lines == 1
-    assert rows[8].cleaned_hash == _h60("tail-eight")
+    assert rows[8].cleaned_hash == h60("tail-eight")
 
 
 def test_fixture_oracle_parity(repair_rows, tmp_path):
