@@ -46,6 +46,8 @@ HEADLINE = [
     "conversation_line_repair",  # C4-style duplicate-line excision
     "pack_training_sequences",  # sharded fixed-length packing manifest
     "domain_mixture",         # per-domain epoch-upsampling manifest
+    "training_order",         # dense global shuffle-order manifest
+    "bpe_merge_candidates",   # tokenizer-induction pair counts
     "conversation_curation_funnel",  # end-to-end curation pipeline
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity

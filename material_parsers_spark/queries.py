@@ -3179,6 +3179,103 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORDER_SHARDS = 64
+
+
+@_register("training_order", f"""
+WITH t AS (
+  SELECT doc_id, {_H_SQL.format(expr="cast(doc_id AS varchar)")} AS h
+  FROM documents)
+SELECT doc_id, cast(h % {_ORDER_SHARDS} AS bigint) AS shard,
+       cast(row_number() OVER (ORDER BY h % {_ORDER_SHARDS}, h, doc_id)
+            - 1 AS bigint) AS global_pos
+FROM t
+""")
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE GLOBAL SHUFFLE ORDER — assign every document a position in
+    [0, N) under a deterministic pseudo-random permutation (the
+    training-order shuffle a data loader consumes). The naive shapes
+    both fail at scale: a global row_number() window is a single-task
+    sort of the whole corpus, and monotonically_increasing_id is not
+    dense. This is the classic two-pass distributed index instead:
+
+      1. shard = hash % {_ORDER_SHARDS}; per-shard counts are one tiny
+         map-side-combined aggregate ({_ORDER_SHARDS} rows),
+      2. exclusive prefix sums over those {_ORDER_SHARDS} rows give each
+         shard its base offset (driver-sized window, broadcast back),
+      3. row_number() PARTITIONED by shard (parallel, one exchange of
+         the ids) ordered by (hash, doc_id) + base offset = dense
+         global position under the total order (shard, hash, doc_id).
+
+    Ties on hash break by doc_id, so the permutation is total and
+    reproducible across engines. The corpus crosses exactly ONE
+    exchange (the shard repartition for the per-shard sort)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    h = _h(F.col("doc_id").cast("string"))
+    t = docs.select(
+        "doc_id", h.alias("h"),
+        F.pmod(h, F.lit(_ORDER_SHARDS)).cast("long").alias("shard"))
+    counts = t.groupBy("shard").agg(F.count("*").alias("n"))
+    # single-partition window is fine HERE: it runs over exactly
+    # {_ORDER_SHARDS} rows, never the corpus
+    w_off = Window.orderBy("shard") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "shard",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("base"))
+    w_rn = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        t.join(F.broadcast(offsets), "shard")
+        .select("doc_id", "shard",
+                (F.col("base") + F.row_number().over(w_rn) - 1)
+                .cast("long").alias("global_pos"))
+    )
+
+
+_BPE_TOP_K = 32
+
+
+@_register("bpe_merge_candidates", f"""
+WITH words AS (
+  SELECT w, cast(count(*) AS bigint) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> '' GROUP BY w),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, i, 2))) AS pair, f
+  FROM words WHERE length(w) >= 2)
+SELECT pair, cast(sum(f) AS bigint) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {_BPE_TOP_K}
+""")
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER INDUCTION step: the first BPE merge iteration — count
+    adjacent character pairs across the corpus weighted by word
+    frequency and emit the top {_BPE_TOP_K} merge candidates (Sennrich
+    et al. 2016; every BPE/WordPiece trainer's inner loop is exactly
+    this count). Deterministic: ties at the cut break on the pair
+    string, so the candidate set is a total-order prefix.
+
+    Scale shape: the corpus collapses to DISTINCT words + frequencies
+    first (one map-side-combined aggregate — the vocabulary, orders of
+    magnitude smaller than the corpus), pairs explode off the
+    vocabulary only, and the top-k is a TakeOrdered (per-partition
+    heaps + driver merge), never a global sort."""
+    docs = _read(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("f")))
+    pairs = (words.where(F.length("w") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, char_length(w) - 1), "
+                 "i -> substring(w, i, 2))")).alias("pair"), "f"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("f").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), "pair")
+            .limit(_BPE_TOP_K))
+
+
 # Target mixture over the documents table's lang column (the "domain"
 # axis the synthetic corpus has). Constants are part of the operator's
 # contract — the DuckDB oracle inlines the same values.

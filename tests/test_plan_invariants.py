@@ -122,3 +122,38 @@ def test_domain_mixture_corpus_crosses_zero_shuffles(spark):
     assert len(re.findall(r"\bExchange hashpartitioning", corpus_side)) == 0
     # the dim subtree: per-domain agg + total agg, nothing else
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
+
+
+def test_training_order_never_globally_sorts(spark):
+    """Pins the dense-global-index scale shape: the permutation is
+    produced by a per-shard window + broadcast base offsets — NO range
+    partitioning (a global sort) and NO single-partition pass over the
+    corpus. The one allowed SinglePartition exchange is the 64-row
+    offsets window; the corpus pays the shard repartition plus the tiny
+    counts aggregate."""
+    import re
+
+    df = SPARK_QUERIES["training_order"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 1
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_bpe_top_k_is_take_ordered_not_global_sort(spark):
+    """Pins the tokenizer-induction scale shape: pairs explode off the
+    aggregated VOCABULARY (not the corpus) and the top-k is a
+    TakeOrderedAndProject (per-partition heaps), never an Exchange
+    rangepartitioning + full Sort."""
+    import re
+
+    df = SPARK_QUERIES["bpe_merge_candidates"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
