@@ -1,0 +1,95 @@
+"""Scale spot-check for the round-5 late operators: run each at two
+corpus sizes in ONE session and report per-unit cost at both levels
+plus the hi/lo ratio — the same flat-cost evidence scale_proof.py
+records for the flagships, extended to the operators added after that
+run (span-level decontamination repair, dense training order, BPE
+merge candidates over replicated documents; line-dedup repair over the
+synthetic transcript corpus scaled by SPARK_GRAFT_TURNS).
+
+Documents levels: 10x and 100x replication of the sf0.1 corpus via
+scale_proof.build_scaled_documents (disjoint per-replica vocabularies,
+identical word lengths at both levels). Conversation level: 400k vs
+4M turns (~17k vs ~170k rendered conversations).
+
+Output: ONE JSON line with per-unit costs, ratios, and the in-run host
+ceiling. A ratio near 1.0 = flat per-unit cost; <1 = economies of
+scale (fixed job overhead amortizing); >>1 = a superlinear operator.
+
+Usage: python tools/scale_spot.py [--quick]
+  --quick uses 2x/10x docs and 40k/400k turns (smoke-testing the tool).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOC_QUERIES = ("decontaminate_span_removal", "training_order",
+               "bpe_merge_candidates")
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+
+    from bench import busy_rate, materialize
+    from material_parsers_spark import queries as q
+    from material_parsers_spark.pipeline.session import build_session
+    from tools.scale_proof import build_scaled_documents
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(app_name="scale-spot", master=f"local[{cpus}]",
+                          shuffle_partitions=cpus)
+
+    doc_levels = (("lo", 2), ("hi", 10)) if quick else (("lo", 10),
+                                                        ("hi", 100))
+    turn_levels = (("lo", 40_000), ("hi", 400_000)) if quick else \
+        (("lo", 400_000), ("hi", 4_000_000))
+
+    results: dict = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for label, reps in doc_levels:
+            out = f"{tmp}/docs_{label}"
+            n_docs = build_scaled_documents(spark, out, reps)
+            for name in DOC_QUERIES:
+                start = time.time()
+                materialize(q.SPARK_QUERIES[name](spark, out))
+                wall = time.time() - start
+                results.setdefault(name, {})[label] = {
+                    "units": n_docs, "sec": round(wall, 3),
+                    "us_per_unit": round(wall / n_docs * 1e6, 3)}
+
+    for label, turns in turn_levels:
+        os.environ["SPARK_GRAFT_TURNS"] = str(turns)
+        q.clear_turns_cache()
+        start = time.time()
+        materialize(q.SPARK_QUERIES["conversation_line_repair"](
+            spark, "/root/testdata/sf0.1"))
+        wall = time.time() - start
+        results.setdefault("conversation_line_repair", {})[label] = {
+            "units": turns, "sec": round(wall, 3),
+            "us_per_unit": round(wall / turns * 1e6, 3)}
+    os.environ.pop("SPARK_GRAFT_TURNS", None)
+    q.clear_turns_cache()
+
+    for name, levels in results.items():
+        levels["hi_over_lo_per_unit"] = round(
+            levels["hi"]["us_per_unit"] / levels["lo"]["us_per_unit"], 3)
+
+    rate_1 = busy_rate(1)
+    rate_n = busy_rate(cpus)
+    print(json.dumps({
+        "metric": "scale_spot_r05_late_ops",
+        "results": results,
+        "host": {"per_core_ceiling": round(rate_n / rate_1, 3)},
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()
