@@ -1777,6 +1777,112 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(_read(spark, sf_dir, "documents"))
 
 
+def eval_leakage(docs: DataFrame, n: int = 13,
+                 eval_mod: int = 20) -> DataFrame:
+    """EVAL-LEAKAGE REPORT — the transpose of `decontaminate`: instead
+    of flagging corpus documents, report per EVAL document how much of
+    it has leaked into the (non-eval) corpus. This is the view an eval
+    owner reads to decide which benchmark items are burned: n_grams
+    (the eval doc's distinct 13-grams), n_leaked_grams (those found in
+    at least one corpus doc), leak_frac, and corpus_docs_hit (distinct
+    corpus documents sharing >= 1 gram, counted under the same
+    32-per-gram hot-bucket cap as the flag operator — a boilerplate
+    gram viral across the corpus reports 32, not the corpus size).
+    Eval-to-eval sharing is NOT leakage: only non-eval corpus docs
+    count.
+
+    Scale shape (100 TB verdict): the roles of `decontaminate` invert
+    but the plan shape survives — the eval gram set is still the small
+    side, so the CORPUS gram stream broadcast-semi-joins against it
+    (the corpus never shuffles on the gram key); only the MATCHED
+    (corpus_doc, gram) pairs — bounded by actual leakage, not corpus
+    size — cross the cap window and the per-gram aggregate, and the
+    final rollup groups the eval grams (small by definition)."""
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    is_eval = _h(F.col("doc_id").cast("string")) % eval_mod == 0
+    grams = (_ngrams_df(docs, n)
+             .repartition(parallelism, "doc_id")
+             .select("doc_id", F.explode("ngrams").alias("gram"))
+             .select("doc_id", _h(F.col("gram")).alias("gram_h"),
+                     is_eval.alias("is_eval")))
+    eval_grams = grams.where("is_eval").select(
+        F.col("doc_id").alias("eval_id"), "gram_h")
+    hits = (grams.where(~F.col("is_eval"))
+            .select("doc_id", "gram_h")
+            .join(F.broadcast(eval_grams.select("gram_h").distinct()),
+                  "gram_h"))
+    cap_window = Window.partitionBy("gram_h").orderBy("doc_id")
+    per_gram = (hits
+                .withColumn("rn", F.row_number().over(cap_window))
+                .where(F.col("rn") <= 32)
+                .groupBy("gram_h")
+                .agg(F.sort_array(F.collect_list("doc_id"))
+                     .alias("corpus_docs")))
+    return (
+        eval_grams.join(F.broadcast(per_gram), "gram_h", "left")
+        .groupBy("eval_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("corpus_docs").alias("n_leaked_grams"),
+            F.size(F.array_distinct(F.flatten(
+                F.collect_list("corpus_docs")))).alias("corpus_docs_hit"),
+        )
+        .select(
+            "eval_id", "n_grams", "n_leaked_grams",
+            F.round(F.col("n_leaked_grams").cast("double")
+                    / F.col("n_grams"), 6).alias("leak_frac"),
+            "corpus_docs_hit",
+        )
+    )
+
+
+def _leakage_oracle_sql(docs_sql: str, id_alias: str = "eval_id") -> str:
+    """DuckDB mirror of `eval_leakage` over any (doc_id, w words) CTE."""
+    return f"""
+WITH docs AS ({docs_sql}),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 12, 0)),
+             i -> {_NGRAM13_CONCAT})) AS gs
+  FROM docs WHERE len(w) >= 13),
+g AS (
+  SELECT doc_id, {_H_SQL.format(expr='gram')} AS gram_h,
+         {_EVAL_H_SQL} % 20 = 0 AS is_eval
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams)),
+eg AS (SELECT doc_id AS eval_id, gram_h FROM g WHERE is_eval),
+hits AS (
+  SELECT c.doc_id, c.gram_h FROM g c
+  WHERE NOT c.is_eval
+    AND c.gram_h IN (SELECT DISTINCT gram_h FROM eg)),
+pg AS (
+  SELECT gram_h, list(doc_id) AS corpus_docs FROM (
+    SELECT gram_h, doc_id,
+           row_number() OVER (PARTITION BY gram_h ORDER BY doc_id) AS rn
+    FROM hits) WHERE rn <= 32
+  GROUP BY gram_h)
+SELECT eval_id AS {id_alias},
+       count(*) AS n_grams,
+       count(corpus_docs) AS n_leaked_grams,
+       round(cast(count(corpus_docs) AS double) / count(*), 6)
+         AS leak_frac,
+       cast(coalesce(len(list_distinct(flatten(
+           list(corpus_docs) FILTER (corpus_docs IS NOT NULL)))), 0)
+         AS int) AS corpus_docs_hit
+FROM eg LEFT JOIN pg USING (gram_h)
+GROUP BY eval_id
+"""
+
+
+@_register("eval_leakage_report", _leakage_oracle_sql(
+    "SELECT doc_id, string_split(text, ' ') AS w FROM documents"))
+def eval_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document leakage report over the documents table (see
+    eval_leakage for semantics and the at-scale plan shape)."""
+    return eval_leakage(_read(spark, sf_dir, "documents"))
+
+
 @_register("conversation_decontaminate")
 def conversation_decontaminate(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

@@ -109,6 +109,37 @@ def test_span_removal_excises_covered_positions(spark, contaminated_dir):
     assert r5.cleaned_hash == h60("")
 
 
+def test_eval_leakage_report_transposes_the_flags(spark, contaminated_dir):
+    rows = {r.eval_id: r for r in SPARK_QUERIES["eval_leakage_report"](
+        spark, contaminated_dir).collect()}
+    # one row per eval doc, none for corpus docs
+    assert all(_is_eval(d) for d in rows)
+    assert len(rows) == 40
+    for r in rows.values():
+        # 14 words -> 2 distinct grams; only COMMON_13 leaks, into
+        # corpus docs 1, 4, 5 — the 39 OTHER eval docs sharing it are
+        # NOT leakage
+        assert (r.n_grams, r.n_leaked_grams) == (2, 1)
+        assert r.leak_frac == pytest.approx(0.5, abs=1e-6)
+        assert r.corpus_docs_hit == 3
+
+
+def test_eval_leakage_fixture_oracle_parity(spark, contaminated_dir):
+    df = SPARK_QUERIES["eval_leakage_report"](spark, contaminated_dir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{contaminated_dir}/documents.parquet/*.parquet'")
+    result = con.execute(ORACLE_SQL["eval_leakage_report"])
+    oracle_rows = result.fetchall()
+    oracle_cols = [d[0] for d in result.description]
+    assert len(spark_rows) == len(oracle_rows)
+    assert sorted(df.columns) == sorted(oracle_cols)
+    assert value_hash(spark_rows, df.columns) == \
+        value_hash(oracle_rows, oracle_cols)
+
+
 def test_span_removal_fixture_oracle_parity(spark, contaminated_dir):
     df = SPARK_QUERIES["decontaminate_span_removal"](spark, contaminated_dir)
     spark_rows = [tuple(r) for r in df.collect()]
