@@ -2039,6 +2039,127 @@ def decontaminate_span_removal(spark: SparkSession,
     return decontaminate_spans(_read(spark, sf_dir, "documents"))
 
 
+# occ_key packs (doc_id, pos) into ONE comparable bigint so both
+# engines compute the owner occurrence with a plain min() — map-side
+# combinable, no struct-comparison semantics to align. Bound: word
+# position < 2^20 (the chunked conversation path bounds document
+# length well under a million words) and doc_id < 2^43.
+_OCC_STRIDE = 1 << 20
+
+
+def dedup_substrings(docs: DataFrame, n: int = 25) -> DataFrame:
+    """Cross-document repeated-substring dedup REPAIR, the word-n-gram
+    adaptation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every word n-gram
+    that occurs more than once in the corpus — across documents OR
+    repeated inside one — is kept only at its canonical owner
+    occurrence (the smallest (doc_id, position) pair) and the covering
+    windows of every other occurrence are excised. A repeated passage
+    of m >= n words yields m-n+1 repeated grams whose windows union to
+    the full passage in each non-owner copy, so one copy survives and
+    the rest vanish wholesale. Known greedy artifact (shared with the
+    published technique): a doc can own one gram yet lose overlapping
+    words to a DIFFERENT repeated gram owned elsewhere.
+
+    Emits one row per document with >= n words: the duplicate-window
+    count, removed-word count and the 60-bit hash of the rebuilt text
+    (payload stays on the executors, the house rule for text-rewriting
+    operators).
+
+    Scale shape (100 TB verdict): only (doc_id, pos, gram_h) triples
+    cross a shuffle — never gram text. Per-gram state is (min occ_key,
+    count): map-side combinable with NO per-gram doc list, so unlike
+    the capped inverted-index operators this needs no hot-bucket cap —
+    a boilerplate gram viral across a billion documents is ONE
+    aggregate row. The join back is one-row-per-key on the build side
+    (AQE splits probe-side skew); removed positions collapse per doc
+    before the rebuild join against the original text."""
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    occ = (
+        _ngrams_df(docs, n, distinct=False)
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", F.posexplode("ngrams").alias("pos", "gram"))
+        .select("doc_id", "pos", _h(F.col("gram")).alias("gram_h"),
+                (F.col("doc_id") * _OCC_STRIDE + F.col("pos"))
+                .alias("occ_key"))
+    )
+    owners = (occ.groupBy("gram_h")
+              .agg(F.min("occ_key").alias("owner_key"),
+                   F.count("*").alias("n_occ"))
+              .where("n_occ > 1"))
+    excised = (
+        occ.join(owners, "gram_h")
+        .where(F.col("occ_key") != F.col("owner_key"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+    )
+    base = (docs.select("doc_id", F.split("text", " ").alias("w"))
+            .where(F.size("w") >= n))
+    rebuilt = _excise_positions(
+        base, excised, lambda s, j: (j >= s) & (j <= s + F.lit(n - 1)))
+    n_removed = F.size("w") - F.size("kept")
+    return rebuilt.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size("positions").cast("int").alias("n_dup_windows"),
+        n_removed.cast("long").alias("n_removed_words"),
+        F.round(n_removed.cast("double") / F.size("w"), 6)
+        .alias("removed_frac"),
+        _h(F.concat_ws(" ", "kept")).alias("cleaned_hash"),
+    )
+
+
+_NGRAM25_CONCAT = "||' '||".join(f"w[i+{k}]" for k in range(25))
+
+
+def _substring_repair_oracle_sql(docs_sql: str,
+                                 id_alias: str = "doc_id") -> str:
+    """DuckDB mirror of dedup_substrings over any (doc_id, w words)
+    CTE. Positions normalize to 0-based before window comparison."""
+    return f"""
+WITH docs AS ({docs_sql}),
+base AS (SELECT doc_id, w FROM docs WHERE len(w) >= 25),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_H_SQL.format(expr=_NGRAM25_CONCAT)} AS gram_h,
+         doc_id * {_OCC_STRIDE} + (i - 1) AS occ_key
+  FROM base, unnest(generate_series(1, len(w) - 24)) AS u(i)),
+owners AS (
+  SELECT gram_h, min(occ_key) AS owner_key
+  FROM occ GROUP BY gram_h HAVING count(*) > 1),
+starts AS (
+  SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+  FROM occ JOIN owners USING (gram_h)
+  WHERE occ_key <> owner_key GROUP BY doc_id),
+rebuilt AS (
+  SELECT b.doc_id,
+         cast(len(b.w) AS bigint) AS n_words,
+         cast(coalesce(len(s.starts), 0) AS int) AS n_dup_windows,
+         list_filter(b.w, (x, j) -> len(list_filter(
+             coalesce(s.starts, cast([] AS bigint[])),
+             st -> st <= j - 1 AND j - 1 <= st + 24)) = 0) AS kept
+  FROM base b LEFT JOIN starts s USING (doc_id))
+SELECT doc_id AS {id_alias}, n_words, n_dup_windows,
+       cast(n_words - len(kept) AS bigint) AS n_removed_words,
+       round(cast(n_words - len(kept) AS double) / n_words, 6)
+         AS removed_frac,
+       {_H_SQL.format(expr="coalesce(array_to_string(kept, ' '), '')")}
+         AS cleaned_hash
+FROM rebuilt
+"""
+
+
+@_register("dedup_substring_repair", _substring_repair_oracle_sql(
+    "SELECT doc_id, string_split(text, ' ') AS w FROM documents"))
+def dedup_substring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-25-gram excision over the documents
+    table (see dedup_substrings for semantics and the at-scale plan
+    shape). Non-vacuous on the synthetic corpus: template-generated
+    passages repeat 25-grams across ~40 documents at every scale."""
+    return dedup_substrings(_read(spark, sf_dir, "documents"))
+
+
 # PII patterns shared by the Spark operator and its DuckDB oracle —
 # restricted to syntax both Java regex and RE2 interpret identically
 # (no backrefs, no lookaround). Replacement order is part of the
