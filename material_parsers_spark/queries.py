@@ -3356,6 +3356,198 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3).select("q_id", "vec_id", "cosine"))
 
 
+_KM_K = 8
+_KM_ITERS = 2
+_KM_INIT_LO = 200     # init centroids = data vectors 200..207
+_KM_DIM = 64
+_KM_SCALE = 1_000_000
+
+# fixed-point quantization: float embeddings -> micro-unit bigints.
+# float32 x 1e6 is EXACT in double (24-bit x 14-bit mantissas < 53),
+# so the quantized values are identical on both engines, and every
+# downstream k-means operation (squared distance, argmin, centroid
+# floor-mean) is exact int64 arithmetic — bit-reproducible across
+# engines AND across shuffle reduction orders, which is what makes the
+# iterative job resumable/verifiable at cluster scale where float
+# summation order is nondeterministic.
+_KM_QUANT_EXPR = ("transform(embedding, x -> "
+                  f"cast(round(cast(x as double) * {_KM_SCALE}, 0) "
+                  "as bigint))")
+
+
+def _km_best_sql(centroids) -> str:
+    """Argmin-cluster expression against driver-inlined centroid
+    literals: array_sort over (dist_sq, cluster) structs — natural
+    struct ordering gives the min distance with lowest-index
+    tie-break, identical to the oracle's row_number ordering."""
+    structs = []
+    for c, cent in enumerate(centroids):
+        arr = ", ".join(f"{int(v)}L" for v in cent)
+        d = (f"aggregate(zip_with(q, array({arr}), "
+             f"(x, w) -> (x - w) * (x - w)), 0L, (acc, v) -> acc + v)")
+        structs.append(f"named_struct('d', {d}, 'c', {c})")
+    return f"array_sort(array({', '.join(structs)}))[0]"
+
+
+def kmeans_assign(emb: DataFrame, k: int = _KM_K,
+                  iters: int = _KM_ITERS) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding column with a
+    deterministic init (data vectors {_KM_INIT_LO}..) and a FIXED
+    iteration count, entirely in fixed-point int64 (see
+    _KM_QUANT_EXPR). Returns (vec_id, cluster, dist_sq) under the
+    final centroids; dist_sq is squared euclidean in micro-unit^2.
+
+    Scale shape (100 TB verdict): the classic Spark k-means loop —
+    per iteration, assignment is a shuffle-free whole-stage-codegen
+    projection against k inlined centroid literals, and the centroid
+    update is ONE map-side-combinable aggregate whose result is k
+    rows x (count + {_KM_DIM} dim-sums) collected to the driver
+    (k*d bigints, bounded regardless of corpus size — the same
+    collect MLlib's KMeans does every iteration). Exact integer sums
+    make the update independent of partitioning/reduction order; the
+    floor-mean uses Python // on exact ints, mirrored by the oracle's
+    floor(sum::DOUBLE/count) (exact while |sum| < 2^53 — at larger
+    per-cluster mass, swap the oracle to int128 division)."""
+    qe = emb.select("vec_id", F.expr(_KM_QUANT_EXPR).alias("q"))
+    init = sorted(
+        qe.where((F.col("vec_id") >= _KM_INIT_LO)
+                 & (F.col("vec_id") < _KM_INIT_LO + k)).collect(),
+        key=lambda r: r.vec_id)
+    centroids = [list(r.q) for r in init]
+    for _ in range(iters):
+        best = F.expr(_km_best_sql(centroids) + ".c")
+        stats = (qe.select(best.alias("cluster"), "q")
+                 .groupBy("cluster")
+                 .agg(F.count("*").alias("n"),
+                      *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                        for i in range(_KM_DIM)])
+                 .collect())
+        new = {int(r["cluster"]):
+               [int(r[f"s{i}"]) // int(r["n"]) for i in range(_KM_DIM)]
+               for r in stats}
+        # empty clusters keep their previous centroid
+        centroids = [new.get(c, centroids[c]) for c in range(k)]
+    best = F.expr(_km_best_sql(centroids))
+    return (qe.select("vec_id", best.alias("b"))
+            .select("vec_id",
+                    F.col("b.c").alias("cluster"),
+                    F.col("b.d").alias("dist_sq")))
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB mirror of kmeans_assign: the same fixed iteration count
+    unrolled as CTE pairs (assign -> floor-mean update), all in exact
+    integer arithmetic."""
+    dist = "sum((e.q[i] - c.cent[i]) * (e.q[i] - c.cent[i]))"
+    parts = [f"""
+WITH qe AS (
+  SELECT vec_id, list_transform(embedding,
+      x -> cast(round(x::DOUBLE * {_KM_SCALE}) AS bigint)) AS q
+  FROM embeddings),
+cent0 AS (
+  SELECT vec_id - {_KM_INIT_LO} AS c, q AS cent FROM qe
+  WHERE vec_id >= {_KM_INIT_LO} AND vec_id < {_KM_INIT_LO + _KM_K})"""]
+    for it in range(_KM_ITERS):
+        parts.append(f""",
+d{it} AS (
+  SELECT e.vec_id, c.c, {dist} AS d
+  FROM qe e, cent{it} c, unnest(generate_series(1, {_KM_DIM})) t(i)
+  GROUP BY e.vec_id, c.c),
+a{it} AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM d{it}) WHERE rn = 1),
+u{it} AS (
+  SELECT cluster AS c, i,
+         cast(floor(sum(q[i])::DOUBLE / count(*)) AS bigint) AS v
+  FROM a{it} JOIN qe USING (vec_id),
+       unnest(generate_series(1, {_KM_DIM})) t(i)
+  GROUP BY cluster, i),
+cent{it + 1} AS (
+  SELECT p.c, coalesce(u.cent, p.cent) AS cent
+  FROM cent{it} p LEFT JOIN (
+    SELECT c, list(v ORDER BY i) AS cent FROM u{it} GROUP BY c) u
+  USING (c))""")
+    parts.append(f""",
+df AS (
+  SELECT e.vec_id, c.c, {dist} AS d
+  FROM qe e, cent{_KM_ITERS} c,
+       unnest(generate_series(1, {_KM_DIM})) t(i)
+  GROUP BY e.vec_id, c.c)
+SELECT vec_id, cast(c AS int) AS cluster, cast(d AS bigint) AS dist_sq
+FROM (SELECT vec_id, c, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      FROM df)
+WHERE rn = 1""")
+    return "".join(parts)
+
+
+@_register("kmeans_embeddings", _kmeans_oracle_sql())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd k-means assignment over the embeddings table
+    (see kmeans_assign for semantics and the at-scale plan shape)."""
+    return kmeans_assign(_read(spark, sf_dir, "embeddings"))
+
+
+_SEMDEDUP_TAU = 0.3
+
+
+def semdedup_pairs(emb: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup-style semantic dedup (public method: Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): cluster embeddings with k-means, then
+    mark a vector a duplicate if a LOWER-id member of the same
+    cluster has cosine similarity >= tau — the lowest id in each
+    similarity neighborhood survives as the representative. Returns
+    only the duplicate rows: (vec_id, cluster, dup_of = smallest
+    qualifying lower id, n_dup_neighbors).
+
+    Scale shape (100 TB verdict): the expensive pairwise cosine runs
+    ONLY within clusters — the published mitigation is k growing with
+    N so per-cluster membership stays bounded (SemDeDup uses ~100k
+    clusters at web scale), making the per-cluster self-join
+    O(N * cluster_size), not O(N^2). The cluster assignment reuses
+    kmeans_assign's shuffle-free projection; the self-join shuffles
+    on the cluster key once. Threshold comparison uses the suite's
+    round-6 cosine, so boundary behavior matches the oracle."""
+    a = kmeans_assign(emb).select("vec_id", "cluster")
+    m = a.join(emb.select("vec_id", "embedding"), "vec_id")
+    lo = m.select(F.col("vec_id").alias("lo"), "cluster",
+                  F.col("embedding").alias("le"))
+    hi = m.select("vec_id", "cluster", F.col("embedding").alias("re"))
+    cosine = F.round(
+        _dot(F.col("le"), F.col("re"))
+        / (_norm(F.col("le")) * _norm(F.col("re"))), 6)
+    pairs = (lo.join(hi, "cluster")
+             .where(F.col("lo") < F.col("vec_id"))
+             .select("vec_id", "cluster", "lo", cosine.alias("cosine"))
+             .where(F.col("cosine") >= tau))
+    return (pairs.groupBy("vec_id", "cluster")
+            .agg(F.min("lo").alias("dup_of"),
+                 F.count("*").alias("n_dup_neighbors"))
+            .select("vec_id", "cluster", "dup_of", "n_dup_neighbors"))
+
+
+@_register("semdedup_embedding", f"""
+WITH a AS (SELECT * FROM ({_kmeans_oracle_sql()}) t),
+m AS (SELECT a.vec_id, a.cluster, e.embedding
+      FROM a JOIN embeddings e USING (vec_id)),
+pairs AS (
+  SELECT l.vec_id AS lo, r.vec_id AS vec_id, r.cluster,
+         {_COSINE_SQL.format(q='l.embedding', e='r.embedding')} AS cosine
+  FROM m l JOIN m r ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
+SELECT vec_id, cluster, min(lo) AS dup_of,
+       count(*) AS n_dup_neighbors
+FROM pairs WHERE cosine >= {_SEMDEDUP_TAU}
+GROUP BY vec_id, cluster
+""")
+def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-k-means-cluster duplicate marking over the
+    embeddings table (see semdedup_pairs)."""
+    return semdedup_pairs(_read(spark, sf_dir, "embeddings"))
+
+
 @_register("similarity_recall_report", f"""
 WITH truth AS (
   SELECT q_id, vec_id FROM ({ORACLE_SQL['similarity_topk']})),

@@ -1,0 +1,97 @@
+"""Planted-cluster fixture for fixed-point k-means and SemDeDup: the
+driver testdata embeddings are isotropic (no cluster structure — the
+same caveat test_ann_lsh documents), so this fixture plants three
+tight orthogonal blobs and proves (a) kmeans_assign recovers the blob
+partition exactly at k=3, (b) the registered k=8 query and its DuckDB
+oracle agree on data WITH real cluster structure, and (c) SemDeDup
+marks planted near-duplicates with the lowest id surviving."""
+
+import duckdb
+import pytest
+
+from material_parsers_spark.pipeline.session import build_session
+from material_parsers_spark.queries import (
+    ORACLE_SQL,
+    SPARK_QUERIES,
+    kmeans_assign,
+    semdedup_pairs,
+)
+from tests.conftest import h60
+from tools.check_oracles import value_hash
+
+N_VECS = 240
+DIM = 64
+
+
+def _vec(vec_id: int) -> list:
+    blob = vec_id % 3
+    out = []
+    for d in range(DIM):
+        noise = (h60(f"{vec_id}:{d}") % 2001 - 1000) / 100000  # +-0.01
+        out.append((1.0 if d == blob else 0.0) + noise)
+    return out
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return build_session(app_name="kmeans-tests", master="local[8]",
+                         shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark, tmp_path_factory):
+    rows = [(i, _vec(i), i % 3) for i in range(N_VECS)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    path = tmp_path_factory.mktemp("kmeans")
+    emb.write.mode("overwrite").parquet(str(path / "embeddings.parquet"))
+    return str(path), emb
+
+
+def test_kmeans_recovers_planted_blobs_at_k3(emb_dir):
+    _, emb = emb_dir
+    rows = {r.vec_id: r for r in kmeans_assign(emb, k=3).collect()}
+    assert len(rows) == N_VECS
+    by_blob = {}
+    for vec_id, r in rows.items():
+        by_blob.setdefault(vec_id % 3, set()).add(r.cluster)
+    # every blob maps to exactly one cluster, and the three differ
+    assert all(len(cs) == 1 for cs in by_blob.values())
+    assert len(set().union(*by_blob.values())) == 3
+    # within-blob distance is tiny: noise is +-0.01 -> +-10_000
+    # micro-units per dim, so dist_sq << the 1e12 cross-blob scale
+    assert max(r.dist_sq for r in rows.values()) < 64 * 10_000 ** 2
+
+
+def test_registered_query_oracle_parity_on_clustered_data(spark, emb_dir):
+    path, _ = emb_dir
+    for name in ("kmeans_embeddings", "semdedup_embedding"):
+        df = SPARK_QUERIES[name](spark, path)
+        spark_rows = [tuple(r) for r in df.collect()]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{path}/embeddings.parquet/*.parquet'")
+        result = con.execute(ORACLE_SQL[name])
+        oracle_rows = result.fetchall()
+        oracle_cols = [d[0] for d in result.description]
+        assert len(spark_rows) == len(oracle_rows), name
+        assert sorted(df.columns) == sorted(oracle_cols), name
+        assert value_hash(spark_rows, df.columns) == \
+            value_hash(oracle_rows, oracle_cols), name
+
+
+def test_semdedup_marks_near_duplicates_lowest_id_survives(emb_dir):
+    _, emb = emb_dir
+    rows = {r.vec_id: r for r in semdedup_pairs(emb).collect()}
+    # blob members are near-identical (cosine ~0.9999 >> tau): inside
+    # each final cluster every member except the lowest id is a dup
+    assert rows, "tight blobs must produce semantic duplicates"
+    for vec_id, r in rows.items():
+        assert r.dup_of < vec_id
+        # duplicates only pair within a blob: orthogonal blobs have
+        # cosine ~0 << tau
+        assert r.dup_of % 3 == vec_id % 3
+    # the global minimum id of each blob can never be marked dup
+    for survivor in (0, 1, 2):
+        assert survivor not in rows
