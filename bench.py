@@ -40,6 +40,11 @@ HEADLINE = [
     "dedup_containment",      # MOSS-style winnowing containment pairs
     "decontaminate_ngrams",   # 13-gram eval-set contamination flags
     "decontaminate_span_removal",  # span-level contamination repair
+    "eval_leakage_report",    # per-eval-doc burn-rate transpose
+    "dedup_substring_repair",  # cross-doc repeated-25-gram excision
+    "dsir_importance_weights",  # hashed-ngram importance resampling
+    "kmeans_embeddings",      # fixed-point Lloyd assignment (2 iters)
+    "semdedup_embedding",     # within-cluster semantic dedup
     "conversation_decontaminate",  # same operator over rendered convs
     "conversation_pii_scrub",  # regex PII detect+redact (JVM-only)
     "conversation_line_dedup",  # C4-style shared-line census

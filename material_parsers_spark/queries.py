@@ -2160,8 +2160,93 @@ def decontaminate_span_removal(spark: SparkSession,
 # length well under a million words) and doc_id < 2^43.
 _OCC_STRIDE = 1 << 20
 
+# Two-channel Rabin-Karp rolling gram hash: md5-hash each WORD once,
+# then combine 25 word hashes per gram with a polynomial fold mod the
+# Mersenne prime 2^31-1 in two independent channels (different bases,
+# different 30-bit slices of the word hash), packed into one 62-bit
+# key. Versus md5 over the materialized ~150-byte gram string this
+# hashes ~10x fewer bytes and builds no gram strings at all — the
+# gram sweep cost drops from O(total_gram_bytes) to O(words x n) int
+# ops. All arithmetic stays exact in int64 (acc < 2^31, base < 2^20,
+# so acc*base+b < 2^52), so both engines agree bit-for-bit. Random
+# per-pair collision odds ~1/2^62 — the same exposure class as the
+# 60-bit md5 prefix the flag operators use.
+_RK_M = (1 << 31) - 1
+_RK_B1, _RK_B2 = 1000003, 999983
 
-def dedup_substrings(docs: DataFrame, n: int = 25) -> DataFrame:
+
+def _rk_word_channels(words_col):
+    """(wa, wb) channel arrays: one md5 per WORD, split into two
+    independent 30/31-bit slices."""
+    wa = F.transform(words_col, lambda x: _h(x) % _RK_M)
+    wb = F.transform(words_col,
+                     lambda x: F.shiftright(_h(x), 30) % _RK_M)
+    return wa, wb
+
+
+def _rk_fold(wa, wb, n: int):
+    """(gram_h bigint array) of positional n-gram rolling hashes from
+    the channel arrays — the arithmetic twin of _ngrams_df's zip_with
+    shape (every lambda argument-bound, per the CollapseProject rule).
+    CALLER CONTRACT: wa/wb must come from behind a Generate barrier
+    (an explode), or CollapseProject inlines the per-word md5
+    transform into every one of the n slice references."""
+    cnt = F.greatest(F.size(wa) - (n - 1), F.lit(0))
+
+    def chan(arr, base):
+        acc = F.slice(arr, 1, cnt)
+        for k in range(2, n + 1):
+            acc = F.zip_with(acc, F.slice(arr, k, cnt),
+                             lambda a, b: (a * base + b) % _RK_M)
+        return acc
+
+    return F.zip_with(chan(wa, _RK_B1), chan(wb, _RK_B2),
+                      lambda a, b: a * (_RK_M + 1) + b)
+
+
+def _rk_gram_occ(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, gram_h) positional rolling-hash n-gram stream.
+    The word-hash projection sits behind a single-element explode —
+    a Generate node Catalyst cannot collapse a downstream Project
+    into — so each word is md5-hashed exactly twice per document
+    (once per channel), not 2n times."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    w = F.split("text", " ")
+    wa, wb = _rk_word_channels(w)
+    hashed = (
+        docs.where(F.size(w) >= n)
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", F.explode(F.array(F.struct(
+            wa.alias("wa"), wb.alias("wb")))).alias("z"))
+    )
+    grams = _rk_fold(F.col("z.wa"), F.col("z.wb"), n)
+    return hashed.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram_h"))
+
+
+_RK_CHANNELS_SQL = f"""
+         list_transform(w, x -> ({_H_SQL.format(expr='x')}) % {_RK_M})
+           AS wa,
+         list_transform(w, x -> (({_H_SQL.format(expr='x')}) >> 30)
+           % {_RK_M}) AS wb"""
+
+
+def _rk_fold_sql(n: int) -> str:
+    """DuckDB mirror of _rk_fold: the two-channel fold unrolled over
+    wa[i]..wa[i+n-1] (1-based i), usable wherever `wa`, `wb` and a
+    lateral gram index `i` are in scope."""
+    def chan(arr: str, base: int) -> str:
+        acc = f"{arr}[i]"
+        for k in range(1, n):
+            acc = f"(({acc}) * {base} + {arr}[i+{k}]) % {_RK_M}"
+        return acc
+
+    return (f"(({chan('wa', _RK_B1)}) * {_RK_M + 1} "
+            f"+ ({chan('wb', _RK_B2)}))")
+
+
+def dedup_substrings(docs: DataFrame, n: int = 25,
+                     string_ids: bool = False) -> DataFrame:
     """Cross-document repeated-substring dedup REPAIR, the word-n-gram
     adaptation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every word n-gram
@@ -2181,23 +2266,32 @@ def dedup_substrings(docs: DataFrame, n: int = 25) -> DataFrame:
     operators).
 
     Scale shape (100 TB verdict): only (doc_id, pos, gram_h) triples
-    cross a shuffle — never gram text. Per-gram state is (min occ_key,
+    cross a shuffle — never gram text; gram hashes are two-channel
+    Rabin-Karp rolling hashes over per-word md5s (see _rk_fold), so
+    the sweep hashes each word once instead of md5-ing every
+    materialized ~150-byte gram window (~10x less hashing, zero gram
+    string construction). Per-gram state is (min occ_key,
     count): map-side combinable with NO per-gram doc list, so unlike
     the capped inverted-index operators this needs no hot-bucket cap —
     a boilerplate gram viral across a billion documents is ONE
     aggregate row. The join back is one-row-per-key on the build side
     (AQE splits probe-side skew); removed positions collapse per doc
-    before the rebuild join against the original text."""
-    spark = docs.sparkSession
-    parallelism = spark.sparkContext.defaultParallelism
-    occ = (
-        _ngrams_df(docs, n, distinct=False)
-        .repartition(parallelism, "doc_id")
-        .select("doc_id", F.posexplode("ngrams").alias("pos", "gram"))
-        .select("doc_id", "pos", _h(F.col("gram")).alias("gram_h"),
-                (F.col("doc_id") * _OCC_STRIDE + F.col("pos"))
-                .alias("occ_key"))
-    )
+    before the rebuild join against the original text.
+
+    ``string_ids=True`` switches the packed-bigint owner key to a
+    composite string key (id + '#' + zero-padded pos) for non-numeric
+    document ids (e.g. conversation chunk keys): the canonical owner
+    becomes the byte-wise min of the composite key — equally
+    deterministic on both engines, and identical to (min id, min pos)
+    whenever ids are fixed-width."""
+    if string_ids:
+        occ_key = F.concat_ws(
+            "#", F.col("doc_id"),
+            F.lpad(F.col("pos").cast("string"), 7, "0"))
+    else:
+        occ_key = F.col("doc_id") * _OCC_STRIDE + F.col("pos")
+    occ = _rk_gram_occ(docs, n).select(
+        "doc_id", "pos", "gram_h", occ_key.alias("occ_key"))
     owners = (occ.groupBy("gram_h")
               .agg(F.min("occ_key").alias("owner_key"),
                    F.count("*").alias("n_occ"))
@@ -2206,7 +2300,12 @@ def dedup_substrings(docs: DataFrame, n: int = 25) -> DataFrame:
         occ.join(owners, "gram_h")
         .where(F.col("occ_key") != F.col("owner_key"))
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+        # DESCENDING starts: the rebuild's exists() scans in array
+        # order, so a densely-covered document (replayed chunk) hits
+        # a covering start immediately — O(words) instead of
+        # O(words x starts). The kept set is order-independent.
+        .agg(F.sort_array(F.collect_set("pos"), asc=False)
+             .alias("positions"))
     )
     base = (docs.select("doc_id", F.split("text", " ").alias("w"))
             .where(F.size("w") >= n))
@@ -2224,20 +2323,23 @@ def dedup_substrings(docs: DataFrame, n: int = 25) -> DataFrame:
     )
 
 
-_NGRAM25_CONCAT = "||' '||".join(f"w[i+{k}]" for k in range(25))
-
-
 def _substring_repair_oracle_sql(docs_sql: str,
-                                 id_alias: str = "doc_id") -> str:
+                                 id_alias: str = "doc_id",
+                                 string_ids: bool = False) -> str:
     """DuckDB mirror of dedup_substrings over any (doc_id, w words)
-    CTE. Positions normalize to 0-based before window comparison."""
+    CTE: the same two-channel rolling gram hash (word channels bound
+    once per document in the base CTE, fold unrolled per gram).
+    Positions normalize to 0-based before window comparison."""
+    occ_key = ("doc_id || '#' || lpad(cast(i - 1 AS varchar), 7, '0')"
+               if string_ids else f"doc_id * {_OCC_STRIDE} + (i - 1)")
     return f"""
 WITH docs AS ({docs_sql}),
-base AS (SELECT doc_id, w FROM docs WHERE len(w) >= 25),
+base AS (SELECT doc_id, w,{_RK_CHANNELS_SQL}
+         FROM docs WHERE len(w) >= 25),
 occ AS (
   SELECT doc_id, i - 1 AS pos,
-         {_H_SQL.format(expr=_NGRAM25_CONCAT)} AS gram_h,
-         doc_id * {_OCC_STRIDE} + (i - 1) AS occ_key
+         {_rk_fold_sql(25)} AS gram_h,
+         {occ_key} AS occ_key
   FROM base, unnest(generate_series(1, len(w) - 24)) AS u(i)),
 owners AS (
   SELECT gram_h, min(occ_key) AS owner_key
@@ -2272,6 +2374,33 @@ def dedup_substring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). Non-vacuous on the synthetic corpus: template-generated
     passages repeat 25-grams across ~40 documents at every scale."""
     return dedup_substrings(_read(spark, sf_dir, "documents"))
+
+
+@_register("conversation_substring_repair")
+def conversation_substring_repair(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Repeated-substring repair over CHUNKED rendered conversations:
+    the chunk bound (16 KB) is what keeps the rebuild's per-document
+    cost O(chunk^2) worst-case instead of quadratic in an unbounded
+    conversation — exactly the production feed the unchunked
+    operators' docstrings prescribe. Chunk keys are
+    conv_id#zero-padded-chunk_id strings, so the canonical owner is
+    the byte-wise min composite key (fixed-width ids make that (min
+    conv, min chunk, min pos)). Non-vacuous at every scale: replayed
+    conversations chunk identically, so their 25-grams repeat
+    wholesale. Per-chunk containment loses only grams straddling
+    chunk boundaries (same trade-off as conversation_decontaminate).
+    Computed DuckDB oracle from the drift-gated
+    conversation_documents_chunked golden."""
+    chunks = conversation_documents_chunked(
+        _turns_for(spark, sf_dir), max_chars=16384)
+    docs = chunks.select(
+        F.concat_ws("#", "conv_id",
+                    F.lpad(F.col("chunk_id").cast("string"), 6, "0"))
+        .alias("doc_id"),
+        F.col("document").alias("text"))
+    return dedup_substrings(docs, string_ids=True) \
+        .withColumnRenamed("doc_id", "chunk_key")
 
 
 # PII patterns shared by the Spark operator and its DuckDB oracle —
@@ -4181,6 +4310,12 @@ GOLDEN_INPUT_ORACLE_TEMPLATES = {
         "conversation_documents"),
     "conversation_curation_funnel": (_conv_funnel_oracle_template(),
                                      "conversation_documents"),
+    "conversation_substring_repair": (_substring_repair_oracle_sql(
+        "SELECT conv_id || '#' || lpad(cast(chunk_id AS varchar), 6, '0')"
+        " AS doc_id, string_split(document, ' ') AS w"
+        " FROM read_parquet('{path}')",
+        id_alias="chunk_key", string_ids=True),
+        "conversation_documents_chunked"),
 }
 for _name, (_template, _fixture) in GOLDEN_INPUT_ORACLE_TEMPLATES.items():
     # literal replace, NOT str.format: the PII oracle embeds regex

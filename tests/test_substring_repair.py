@@ -86,5 +86,36 @@ def test_fixture_oracle_parity(repair_rows, tmp_path):
         value_hash(oracle_rows, oracle_cols)
 
 
+def test_string_ids_owner_is_byte_min_composite_key(spark, tmp_path):
+    """The string_ids path (conversation chunk keys): the canonical
+    owner is the byte-wise min composite key, so the lexicographically
+    smallest id keeps the passage; and the DuckDB mirror agrees."""
+    rows = [
+        ("z-chunk#000001", PASSAGE + " z-a z-b z-c z-d z-e"),
+        ("a-chunk#000002", PASSAGE + " a-a a-b a-c a-d a-e"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in
+           dedup_substrings(docs, string_ids=True).collect()}
+    assert out["a-chunk#000002"].n_removed_words == 0
+    assert out["z-chunk#000001"].n_removed_words == 30
+    assert out["z-chunk#000001"].cleaned_hash == h60("z-a z-b z-c z-d z-e")
+
+    path = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(path)
+    df = dedup_substrings(docs, string_ids=True)
+    spark_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    sql = _substring_repair_oracle_sql(
+        f"SELECT doc_id, string_split(text, ' ') AS w "
+        f"FROM read_parquet('{path}/*.parquet')", string_ids=True)
+    result = con.execute(sql)
+    oracle_rows = result.fetchall()
+    oracle_cols = [d[0] for d in result.description]
+    assert value_hash(spark_rows, df.columns) == \
+        value_hash(oracle_rows, oracle_cols)
+
+
 def test_registered_oracle_present():
     assert "dedup_substring_repair" in ORACLE_SQL
+    assert "conversation_substring_repair" in ORACLE_SQL
