@@ -31,7 +31,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DOC_QUERIES = ("decontaminate_span_removal", "training_order",
-               "bpe_merge_candidates")
+               "bpe_merge_candidates", "dedup_substring_repair",
+               "dsir_importance_weights", "eval_leakage_report")
+
+
+def build_scaled_embeddings(spark, out: str, reps: int) -> int:
+    """Replicate the sf0.1 embeddings table reps-x with deterministic
+    per-replica perturbation (so replicas are near- but not exact
+    duplicates) and disjoint vec_id ranges; replica 0 keeps the
+    original ids, so the k-means init vectors (200..207) exist."""
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    r = spark.range(reps).select(F.col("id").alias("rep"))
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: (x + ((F.col("rep") * 37 + i) % 101 - 50)
+                      / 10000.0).cast("float"))
+    (emb.crossJoin(r)
+     .select((F.col("vec_id") + F.col("rep") * 100000).alias("vec_id"),
+             perturbed.alias("embedding"), "label")
+     .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+    return n * reps
 
 
 def main() -> None:
@@ -64,16 +85,31 @@ def main() -> None:
                     "units": n_docs, "sec": round(wall, 3),
                     "us_per_unit": round(wall / n_docs * 1e6, 3)}
 
+    with tempfile.TemporaryDirectory() as tmp:
+        emb_levels = (("lo", 2), ("hi", 10)) if quick else (("lo", 10),
+                                                            ("hi", 100))
+        for label, reps in emb_levels:
+            out = f"{tmp}/emb_{label}"
+            n_vecs = build_scaled_embeddings(spark, out, reps)
+            start = time.time()
+            materialize(q.SPARK_QUERIES["kmeans_embeddings"](spark, out))
+            wall = time.time() - start
+            results.setdefault("kmeans_embeddings", {})[label] = {
+                "units": n_vecs, "sec": round(wall, 3),
+                "us_per_unit": round(wall / n_vecs * 1e6, 3)}
+
     for label, turns in turn_levels:
         os.environ["SPARK_GRAFT_TURNS"] = str(turns)
         q.clear_turns_cache()
-        start = time.time()
-        materialize(q.SPARK_QUERIES["conversation_line_repair"](
-            spark, "/root/testdata/sf0.1"))
-        wall = time.time() - start
-        results.setdefault("conversation_line_repair", {})[label] = {
-            "units": turns, "sec": round(wall, 3),
-            "us_per_unit": round(wall / turns * 1e6, 3)}
+        for name in ("conversation_line_repair",
+                     "conversation_substring_repair"):
+            start = time.time()
+            materialize(q.SPARK_QUERIES[name](
+                spark, "/root/testdata/sf0.1"))
+            wall = time.time() - start
+            results.setdefault(name, {})[label] = {
+                "units": turns, "sec": round(wall, 3),
+                "us_per_unit": round(wall / turns * 1e6, 3)}
     os.environ.pop("SPARK_GRAFT_TURNS", None)
     q.clear_turns_cache()
 
