@@ -42,6 +42,11 @@ def _h(col):
 
 _H_SQL = "cast(('0x' || substr(md5({expr}), 1, 15)) as bigint)"
 
+# the held-out eval hash-partition predicate (doc_id hash % 20 == 0),
+# shared by every decontamination/DSIR oracle — ONE definition so the
+# eval split can never drift between operators
+_EVAL_H_SQL = _H_SQL.format(expr="cast(doc_id AS varchar)")
+
 
 # ---------------------------------------------------------------------------
 # extraction pipeline queries (UDF-driven -> rows-only checks)
@@ -1159,8 +1164,7 @@ _DSIR_TOP_K = 100
 @_register("dsir_importance_weights", f"""
 WITH docs AS (
   SELECT doc_id, string_split(text, ' ') AS w,
-         {_H_SQL.format(expr='cast(doc_id AS varchar)')} % 20 = 0
-           AS is_eval
+         {_EVAL_H_SQL} % 20 = 0 AS is_eval
   FROM documents),
 grams AS (
   SELECT doc_id, is_eval, unnest(
@@ -1208,15 +1212,19 @@ def dsir_importance_weights(spark: SparkSession,
     paper's Gumbel-noise resample). High scores = documents that look
     like the target under the hashed-ngram proxy.
 
-    Scale shape (100 TB verdict): the per-bucket model is a FIXED
-    {_DSIR_BUCKETS}-row table no matter the corpus size — one
-    map-side-combinable aggregate over (doc_id, bucket) counts, one
-    bounded broadcast back. The corpus pays one explode + the per-doc
-    feature aggregate (reusing the explicit doc_id partitioning) + a
-    broadcast join; selection is a TakeOrderedAndProject top-K merged
-    on the driver and broadcast back as a flag — no global sort, no
-    unbounded state. Both engines fold the same doubles and round to
-    6 before ranking, so tie behavior is engine-agnostic."""
+    Scale shape (100 TB verdict): inherently TWO corpus passes — a
+    FIT pass (explode + map-side-combinable per-(doc, bucket) counts
+    into the fixed {_DSIR_BUCKETS}-row model) and a SCORE pass (the
+    same explode + a broadcast join against the model) — the method's
+    own structure, since the model must exist before scoring. Each
+    pass runs exactly once: the model localCheckpoints at
+    {_DSIR_BUCKETS} rows, and the scored frame (one slim row per raw
+    doc) localCheckpoints so the top-K branch and the flag join both
+    read it instead of re-running the score pass. Selection is a
+    TakeOrderedAndProject top-K merged on the driver and broadcast
+    back as a flag — no global sort, no unbounded state. Both engines
+    fold the same doubles and round to 6 before ranking, so tie
+    behavior is engine-agnostic."""
     docs = _read(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
     w = F.col("w")
@@ -1247,8 +1255,12 @@ def dsir_importance_weights(spark: SparkSession,
               / (F.col("tt").cast("double") + _DSIR_BUCKETS))
         - F.log((F.col("cr").cast("double") + 1)
                 / (F.col("tr").cast("double") + _DSIR_BUCKETS)))
+    # fit pass materializes once: the model is a bounded 4096-row frame
     ratios = (bstats.crossJoin(F.broadcast(totals))
-              .select("bucket", logratio.alias("logratio")))
+              .select("bucket", logratio.alias("logratio"))
+              .localCheckpoint())
+    # score pass materializes once: topk and the flag join both read
+    # the checkpointed per-doc scores instead of re-exploding the corpus
     scored = (
         feats.where(~F.col("is_eval"))
         .join(F.broadcast(ratios), "bucket")
@@ -1256,6 +1268,7 @@ def dsir_importance_weights(spark: SparkSession,
         .agg(F.sum("c").alias("n_features"),
              F.round(F.sum(F.col("c").cast("double")
                            * F.col("logratio")), 6).alias("log_weight"))
+        .localCheckpoint()
     )
     topk = (scored.orderBy(F.desc("log_weight"), "doc_id")
             .limit(_DSIR_TOP_K)
@@ -1841,7 +1854,6 @@ def decontaminate(docs: DataFrame, n: int = 13,
 
 
 _NGRAM13_CONCAT = "||' '||".join(f"w[i+{k}]" for k in range(13))
-_EVAL_H_SQL = _H_SQL.format(expr="cast(doc_id AS varchar)")
 
 
 def _decon_oracle_sql(docs_sql: str, id_alias: str = "doc_id") -> str:
@@ -2289,7 +2301,15 @@ def dedup_substrings(docs: DataFrame, n: int = 25,
             "#", F.col("doc_id"),
             F.lpad(F.col("pos").cast("string"), 7, "0"))
     else:
-        occ_key = F.col("doc_id") * _OCC_STRIDE + F.col("pos")
+        # assert_true makes the packing bound REAL: a document with
+        # >= 2^20 words would silently collide occ_keys into the next
+        # doc_id (and the oracle would compute the same wrong formula,
+        # so parity could not catch it) — fail the job instead; such
+        # corpora should use string_ids or the chunked feed
+        guard = F.coalesce(
+            F.assert_true(F.col("pos") < _OCC_STRIDE).cast("long"),
+            F.lit(0))
+        occ_key = F.col("doc_id") * _OCC_STRIDE + F.col("pos") + guard
     occ = _rk_gram_occ(docs, n).select(
         "doc_id", "pos", "gram_h", occ_key.alias("occ_key"))
     owners = (occ.groupBy("gram_h")
@@ -3537,22 +3557,28 @@ def kmeans_assign(emb: DataFrame, k: int = _KM_K,
     floor-mean uses Python // on exact ints, mirrored by the oracle's
     floor(sum::DOUBLE/count) (exact while |sum| < 2^53 — at larger
     per-cluster mass, swap the oracle to int128 division)."""
-    qe = emb.select("vec_id", F.expr(_KM_QUANT_EXPR).alias("q"))
+    # one parquet scan total: quantize once, checkpoint, and let the
+    # init collect, every iteration's aggregate, and the final
+    # assignment all read the checkpointed copy — the same cache-once
+    # shape MLlib's KMeans uses
+    qe = (emb.select("vec_id", F.expr(_KM_QUANT_EXPR).alias("q"))
+          .localCheckpoint())
     init = sorted(
         qe.where((F.col("vec_id") >= _KM_INIT_LO)
                  & (F.col("vec_id") < _KM_INIT_LO + k)).collect(),
         key=lambda r: r.vec_id)
     centroids = [list(r.q) for r in init]
+    dim = len(centroids[0])
     for _ in range(iters):
         best = F.expr(_km_best_sql(centroids) + ".c")
         stats = (qe.select(best.alias("cluster"), "q")
                  .groupBy("cluster")
                  .agg(F.count("*").alias("n"),
                       *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-                        for i in range(_KM_DIM)])
+                        for i in range(dim)])
                  .collect())
         new = {int(r["cluster"]):
-               [int(r[f"s{i}"]) // int(r["n"]) for i in range(_KM_DIM)]
+               [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
                for r in stats}
         # empty clusters keep their previous centroid
         centroids = [new.get(c, centroids[c]) for c in range(k)]
@@ -3622,7 +3648,8 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.3
 
 
-def semdedup_pairs(emb: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
+def semdedup_pairs(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
+                   k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
     """SemDeDup-style semantic dedup (public method: Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
     semantic deduplication"): cluster embeddings with k-means, then
@@ -3636,11 +3663,15 @@ def semdedup_pairs(emb: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
     ONLY within clusters — the published mitigation is k growing with
     N so per-cluster membership stays bounded (SemDeDup uses ~100k
     clusters at web scale), making the per-cluster self-join
-    O(N * cluster_size), not O(N^2). The cluster assignment reuses
-    kmeans_assign's shuffle-free projection; the self-join shuffles
-    on the cluster key once. Threshold comparison uses the suite's
-    round-6 cosine, so boundary behavior matches the oracle."""
-    a = kmeans_assign(emb).select("vec_id", "cluster")
+    O(N * cluster_size), not O(N^2) — pass ``k`` to apply it (init
+    vectors are {_KM_INIT_LO}..{_KM_INIT_LO}+k-1; beyond a few
+    hundred clusters, swap the inlined-literal assignment for a
+    broadcast join against a centroid table). The cluster assignment
+    reuses kmeans_assign's shuffle-free projection; the self-join
+    shuffles on the cluster key once. Threshold comparison uses the
+    suite's round-6 cosine, so boundary behavior matches the
+    oracle."""
+    a = kmeans_assign(emb, k=k, iters=iters).select("vec_id", "cluster")
     m = a.join(emb.select("vec_id", "embedding"), "vec_id")
     lo = m.select(F.col("vec_id").alias("lo"), "cluster",
                   F.col("embedding").alias("le"))

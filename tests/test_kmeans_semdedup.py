@@ -81,6 +81,23 @@ def test_registered_query_oracle_parity_on_clustered_data(spark, emb_dir):
             value_hash(oracle_rows, oracle_cols), name
 
 
+def test_kmeans_derives_dimension_from_data(spark):
+    """The Lloyd loop must work at any embedding dimension (the update
+    aggregate derives d from the init vectors, not a constant): 8-dim
+    two-blob fixture clusters exactly at k=2."""
+    rows = [(i + 200 if i < 2 else i,
+             [float(i % 2)] * 4 + [1.0 - (i % 2)] * 4, i % 2)
+            for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    out = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=2).collect()}
+    blobs = {}
+    for vec_id, cluster in out.items():
+        blobs.setdefault(vec_id % 2, set()).add(cluster)
+    assert all(len(cs) == 1 for cs in blobs.values())
+    assert blobs[0] != blobs[1]
+
+
 def test_semdedup_marks_near_duplicates_lowest_id_survives(emb_dir):
     _, emb = emb_dir
     rows = {r.vec_id: r for r in semdedup_pairs(emb).collect()}

@@ -116,6 +116,21 @@ def test_string_ids_owner_is_byte_min_composite_key(spark, tmp_path):
         value_hash(oracle_rows, oracle_cols)
 
 
+def test_occ_key_packing_bound_is_enforced(spark, monkeypatch):
+    """A document longer than the packing stride must FAIL the job
+    (assert_true), never silently collide owner keys into the next
+    doc_id. Exercised by shrinking the stride below the fixture's
+    positions."""
+    import material_parsers_spark.queries as q
+    monkeypatch.setattr(q, "_OCC_STRIDE", 4)
+    docs = spark.createDataFrame(
+        [(1, PASSAGE + " t1 t2 t3 t4 t5"),
+         (2, PASSAGE + " u1 u2 u3 u4 u5")],
+        "doc_id bigint, text string")
+    with pytest.raises(Exception, match="is not true"):
+        dedup_substrings(docs).collect()
+
+
 def test_registered_oracle_present():
     assert "dedup_substring_repair" in ORACLE_SQL
     assert "conversation_substring_repair" in ORACLE_SQL
