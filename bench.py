@@ -56,6 +56,8 @@ HEADLINE = [
     "conversation_curation_funnel",  # end-to-end curation pipeline
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity
+    "perplexity_buckets",     # CCNet head/middle/tail binning
+    "top_ngrams",             # boilerplate 5-gram census (TakeOrdered)
     "layout_reading_order",   # PDF/layout block parse (JVM-only)
     "dedup_simhash",          # SimHash fingerprints
     "similarity_topk",        # brute-force ANN baseline

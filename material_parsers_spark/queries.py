@@ -1157,6 +1157,108 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("perplexity_buckets", f"""
+WITH scored AS (SELECT * FROM ({ORACLE_SQL['quality_lm_score']}) t),
+cutset AS (
+  SELECT doc_id FROM documents
+  ORDER BY {_H_SQL.format(expr="'cut:' || cast(doc_id AS varchar)")},
+           doc_id
+  LIMIT {_LM_TRAIN_DOCS}),
+samp AS (
+  SELECT list_sort(list(lm_perplexity)) AS v,
+         cast(count(*) AS int) AS n
+  FROM scored JOIN cutset USING (doc_id)),
+cuts AS (
+  SELECT v[cast(ceil(n / 3.0) AS int)] AS c1,
+         v[cast(ceil(2 * n / 3.0) AS int)] AS c2
+  FROM samp)
+SELECT doc_id, lm_perplexity,
+       CASE WHEN lm_perplexity <= c1 THEN 'head'
+            WHEN lm_perplexity <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN cuts
+""")
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2019): every document is binned by its LM perplexity against
+    tercile cutoffs computed from a fixed {_LM_TRAIN_DOCS}-doc
+    hash-rank sample — CCNet's own recipe (cutoffs from a reference
+    sample, not a global sort), which is what makes this scale-safe:
+    no ntile window over the corpus, no global ordering. The cutoff
+    sample is drawn under a DIFFERENT hash salt than the LM's
+    training sample: training docs score biased-low perplexity (the
+    LM has seen them), so tercile cutoffs taken from them would push
+    most of the corpus into 'tail'. The scored frame localCheckpoints
+    so the cutoff collect and the bucket projection share one scoring
+    pass; cutoffs are two driver-side doubles broadcast as literals.
+    Ties at a cutoff go to the lower bucket in both engines (<=)."""
+    scored = quality_lm_score(spark, sf_dir).localCheckpoint()
+    cut_ids = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id",
+                _h(F.concat(F.lit("cut:"),
+                            F.col("doc_id").cast("string"))).alias("_h"))
+        .orderBy("_h", "doc_id").limit(_LM_TRAIN_DOCS)
+        .select("doc_id")
+    )
+    vals = sorted(
+        r.lm_perplexity
+        for r in scored.join(F.broadcast(cut_ids), "doc_id")
+        .select("lm_perplexity").collect())
+    n = len(vals)
+    c1 = vals[-(-n // 3) - 1]          # ceil(n/3), 1-based -> 0-based
+    c2 = vals[-(-(2 * n) // 3) - 1]
+    return scored.select(
+        "doc_id", "lm_perplexity",
+        F.when(F.col("lm_perplexity") <= c1, "head")
+        .when(F.col("lm_perplexity") <= c2, "middle")
+        .otherwise("tail").alias("bucket"))
+
+
+_TOP_NGRAMS_K = 32
+
+
+@_register("top_ngrams", f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(w) - 4, 0)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                  w[i+3] || ' ' || w[i+4])) AS ngram
+  FROM docs WHERE len(w) >= 5)
+SELECT ngram, cast(count(*) AS bigint) AS n_occ,
+       cast(count(DISTINCT doc_id) AS bigint) AS n_docs
+FROM grams GROUP BY ngram
+ORDER BY n_occ DESC, ngram ASC
+LIMIT {_TOP_NGRAMS_K}
+""")
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate census: the {_TOP_NGRAMS_K} most frequent word
+    5-grams corpus-wide with occurrence and document counts — the
+    inspection view behind C4/CCNet-style boilerplate rules (viral
+    navigation strings, canned disclaimers). Total order (n_occ desc,
+    ngram asc) pins ties.
+
+    Scale shape: canonical distributed word-count — the aggregate is
+    map-side combinable (each partition emits one row per distinct
+    gram), and the top-K is a TakeOrderedAndProject: per-partition
+    heaps merged on the driver, no global sort."""
+    docs = _read(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    grams = (
+        _ngrams_df(docs, 5, distinct=False)
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", F.explode("ngrams").alias("ngram"))
+    )
+    return (grams.groupBy("ngram")
+            .agg(F.count("*").alias("n_occ"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_occ"), F.asc("ngram"))
+            .limit(_TOP_NGRAMS_K))
+
+
 _DSIR_BUCKETS = 4096
 _DSIR_TOP_K = 100
 
