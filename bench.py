@@ -53,6 +53,7 @@ HEADLINE = [
     "domain_mixture",         # per-domain epoch-upsampling manifest
     "training_order",         # dense global shuffle-order manifest
     "bpe_merge_candidates",   # tokenizer-induction pair counts
+    "bpe_learn_merges",       # full 8-iteration BPE training loop
     "conversation_curation_funnel",  # end-to-end curation pipeline
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity

@@ -4071,6 +4071,115 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_BPE_TOP_K))
 
 
+_BPE_MERGES = 8
+_US = "\x1f"                    # unit separator; symbols never contain it
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """DuckDB mirror of bpe_learn_merges: the k merge iterations
+    unrolled as (pairs -> top-1 -> replace) CTE triples over the
+    wrapped-symbol vocabulary encoding."""
+    us = "chr(31)"
+    sep2 = f"{us} || {us}"
+    parts = [f"""
+WITH words AS (
+  SELECT w, cast(count(*) AS bigint) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> '' AND w NOT LIKE '%' || {us} || '%' GROUP BY w),
+v0 AS (
+  SELECT array_to_string(list_transform(
+             generate_series(1, length(w)),
+             i -> {us} || substr(w, i, 1) || {us}), '') AS enc, f
+  FROM words)"""]
+    for r in range(1, k + 1):
+        left = f"split_part(t.pair, {us}, 1)"
+        right = f"split_part(t.pair, {us}, 2)"
+        parts.append(f""",
+p{r} AS (
+  SELECT s[i] || {us} || s[i+1] AS pair, f
+  FROM (SELECT string_split(trim(enc, {us}), {sep2}) AS s, f
+        FROM v{r - 1}) t,
+       unnest(generate_series(1, len(s) - 1)) u(i)
+  WHERE len(s) >= 2),
+t{r} AS (
+  SELECT pair, cast(sum(f) AS bigint) AS n
+  FROM p{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+v{r} AS (
+  SELECT replace(v.enc,
+                 {us} || {left} || {us} || {us} || {right} || {us},
+                 {us} || {left} || {right} || {us}) AS enc, v.f
+  FROM v{r - 1} v CROSS JOIN t{r} t)""")
+    selects = [
+        (f"SELECT {r} AS merge_rank, split_part(pair, chr(31), 1)"
+         f" AS left_sym, split_part(pair, chr(31), 2) AS right_sym,"
+         f" n AS n_occurrences FROM t{r}")
+        for r in range(1, k + 1)]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@_register("bpe_learn_merges", _bpe_oracle_sql(_BPE_MERGES))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE training loop (Sennrich et al. 2016), not
+    just the first candidate count: {_BPE_MERGES} merge iterations,
+    each counting adjacent SYMBOL pairs over the evolving vocabulary
+    (frequency-weighted, overlapping occurrences counted — the
+    reference get_stats semantics) and merging the winning pair
+    greedily left-to-right before the next count. Returns the learned
+    merge table (merge_rank, left_sym, right_sym, n_occurrences) —
+    the tokenizer artifact BPE training exists to produce. Merge
+    application uses a wrapped-symbol string encoding (each symbol
+    delimited by its own U+001F pair) so a plain non-overlapping
+    left-to-right literal replace implements exactly the reference's
+    greedy merge — including runs: 'a a a a' merges to 'aa aa', and
+    substring-shaped symbols ('ax'+'yb' vs pair 'x','y') can never
+    false-match. Ties break on (count desc, pair asc) byte order in
+    both engines.
+
+    Scale shape (100 TB verdict): the corpus collapses ONCE to the
+    distinct-word vocabulary (map-side-combined, orders of magnitude
+    smaller), which localCheckpoints; each of the k iterations is one
+    bounded job over the checkpointed vocabulary — a chain of r
+    literal replaces (driver-inlined merge table, exactly how BPE
+    trainers apply merges) + a pair-count aggregate + a 1-row
+    TakeOrdered collect. The corpus is never re-read after the first
+    collapse; per-iteration cost is vocabulary-sized regardless of
+    corpus size."""
+    docs = _read(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .where((F.col("w") != "") & ~F.col("w").contains(_US))
+             .groupBy("w").agg(F.count("*").alias("f")))
+    enc0 = F.expr(
+        "array_join(transform(sequence(1, char_length(w)), "
+        "i -> concat(chr(31), substring(w, i, 1), chr(31))), '')")
+    vocab = words.select(enc0.alias("enc"), "f").localCheckpoint()
+    merges = []
+    out = []
+    for rank in range(1, _BPE_MERGES + 1):
+        cur = F.col("enc")
+        for a, b in merges:
+            cur = F.replace(cur, F.lit(f"{_US}{a}{_US}{_US}{b}{_US}"),
+                            F.lit(f"{_US}{a}{b}{_US}"))
+        syms = F.split(F.expr("trim(BOTH chr(31) FROM enc)"),
+                       _US + _US)
+        sel = vocab.select(cur.alias("enc"), "f") \
+            .select(syms.alias("s"), "f")
+        cnt = F.greatest(F.size("s") - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice("s", 1, cnt), F.slice("s", 2, cnt),
+            lambda x, y: F.concat_ws(_US, x, y))
+        top = (sel.select(F.explode(pairs).alias("pair"), "f")
+               .groupBy("pair").agg(F.sum("f").alias("n"))
+               .orderBy(F.desc("n"), "pair").limit(1).collect())
+        if not top:
+            break
+        a, b = top[0].pair.split(_US)
+        merges.append((a, b))
+        out.append((rank, a, b, int(top[0].n)))
+    return spark.createDataFrame(
+        out, "merge_rank int, left_sym string, right_sym string, "
+             "n_occurrences bigint")
+
+
 # Target mixture over the documents table's lang column (the "domain"
 # axis the synthetic corpus has). Constants are part of the operator's
 # contract — the DuckDB oracle inlines the same values.
