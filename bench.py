@@ -355,6 +355,12 @@ Per-query timings:
         for name in results[lo]["queries"]:
             fh.write(f"| {name} | {best(lo, name)} "
                      f"| {best(hi, name)} |\n")
+        # manually recorded measurement notes survive regeneration:
+        # BENCH/NOTES.md is appended verbatim after the generated report
+        notes = f"{REPO}/BENCH/NOTES.md"
+        if os.path.exists(notes):
+            with open(notes) as nf:
+                fh.write("\n---\n\n" + nf.read())
     print(json.dumps({"scaling_efficiency": efficiency,
                       "scaling_efficiency_web": efficiency_web,
                       "host_ceiling": ceiling,

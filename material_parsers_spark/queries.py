@@ -1052,12 +1052,29 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_TRAIN_DOCS = 120
 
 
+def _hash_sample_ids(docs: DataFrame, n: int, salt: str = "") -> DataFrame:
+    """Deterministic fixed-size hash-rank doc-id sample — a
+    TakeOrderedAndProject (per-partition heads, one driver merge),
+    never a global sort. Different salts give independent samples:
+    THE invariant behind the LM-train vs perplexity-cutoff split."""
+    col = F.col("doc_id").cast("string")
+    if salt:
+        col = F.concat(F.lit(salt), col)
+    return (docs.select("doc_id", _h(col).alias("_h"))
+            .orderBy("_h", "doc_id").limit(n).select("doc_id"))
+
+
+def _hash_sample_sql(n: int, salt: str = "") -> str:
+    """DuckDB mirror of _hash_sample_ids over the documents view."""
+    expr = (f"'{salt}' || cast(doc_id AS varchar)" if salt
+            else "cast(doc_id AS varchar)")
+    return (f"SELECT doc_id FROM documents ORDER BY "
+            f"{_H_SQL.format(expr=expr)}, doc_id LIMIT {n}")
+
+
 @_register("quality_lm_score", f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-train_ids AS (
-  SELECT doc_id FROM documents
-  ORDER BY {_H_SQL.format(expr='cast(doc_id AS varchar)')}, doc_id
-  LIMIT {_LM_TRAIN_DOCS}),
+train_ids AS ({_hash_sample_sql(_LM_TRAIN_DOCS)}),
 pairs AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, len(w) - 1),
@@ -1108,12 +1125,7 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOV)."""
     docs = _read(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
-    train_ids = (
-        docs.select("doc_id",
-                    _h(F.col("doc_id").cast("string")).alias("_h"))
-        .orderBy("_h", "doc_id").limit(_LM_TRAIN_DOCS)
-        .select("doc_id")
-    )
+    train_ids = _hash_sample_ids(docs, _LM_TRAIN_DOCS)
     w = F.col("w")
     cnt = F.greatest(F.size(w) - 1, F.lit(0))
     bigrams = F.zip_with(F.slice(w, 1, cnt), F.slice(w, 2, cnt),
@@ -1159,11 +1171,7 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("perplexity_buckets", f"""
 WITH scored AS (SELECT * FROM ({ORACLE_SQL['quality_lm_score']}) t),
-cutset AS (
-  SELECT doc_id FROM documents
-  ORDER BY {_H_SQL.format(expr="'cut:' || cast(doc_id AS varchar)")},
-           doc_id
-  LIMIT {_LM_TRAIN_DOCS}),
+cutset AS ({_hash_sample_sql(_LM_TRAIN_DOCS, 'cut:')}),
 samp AS (
   SELECT list_sort(list(lm_perplexity)) AS v,
          cast(count(*) AS int) AS n
@@ -1193,19 +1201,19 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; cutoffs are two driver-side doubles broadcast as literals.
     Ties at a cutoff go to the lower bucket in both engines (<=)."""
     scored = quality_lm_score(spark, sf_dir).localCheckpoint()
-    cut_ids = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id",
-                _h(F.concat(F.lit("cut:"),
-                            F.col("doc_id").cast("string"))).alias("_h"))
-        .orderBy("_h", "doc_id").limit(_LM_TRAIN_DOCS)
-        .select("doc_id")
-    )
+    cut_ids = _hash_sample_ids(
+        _read(spark, sf_dir, "documents"), _LM_TRAIN_DOCS, salt="cut:")
     vals = sorted(
         r.lm_perplexity
         for r in scored.join(F.broadcast(cut_ids), "doc_id")
         .select("lm_perplexity").collect())
     n = len(vals)
+    if n == 0:
+        # degenerate corpus (no sampled doc reaches the >=2-word LM
+        # universe): the oracle's NULL cutoffs bucket everything
+        # 'tail' — mirror that instead of crashing on vals[-1]
+        return scored.select("doc_id", "lm_perplexity",
+                             F.lit("tail").alias("bucket"))
     c1 = vals[-(-n // 3) - 1]          # ceil(n/3), 1-based -> 0-based
     c2 = vals[-(-(2 * n) // 3) - 1]
     return scored.select(
@@ -1247,9 +1255,12 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps merged on the driver, no global sort."""
     docs = _read(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
+    # repartition the RAW docs (text only) before gram building: a
+    # single-file parquet input would otherwise build every gram on
+    # one core, and repartitioning after _ngrams_df would shuffle the
+    # ~5x-amplified gram arrays instead of the text
     grams = (
-        _ngrams_df(docs, 5, distinct=False)
-        .repartition(parallelism, "doc_id")
+        _ngrams_df(docs.repartition(parallelism), 5, distinct=False)
         .select("doc_id", F.explode("ngrams").alias("ngram"))
     )
     return (grams.groupBy("ngram")

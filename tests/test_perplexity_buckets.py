@@ -37,7 +37,7 @@ def test_buckets_partition_and_are_monotone(spark):
         assert len(by_bucket[bucket]) > 0.15 * scored
 
 
-def test_top_ngrams_counts_and_order_on_planted_corpus(spark):
+def test_top_ngrams_counts_and_order_on_planted_corpus(spark, tmp_path):
     rows = [
         (1, "a b c d e f"),        # grams: "a b c d e", "b c d e f"
         (2, "a b c d e"),          # repeats "a b c d e"
@@ -45,9 +45,7 @@ def test_top_ngrams_counts_and_order_on_planted_corpus(spark):
         (4, "x y z"),              # under 5 words: no grams
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
-    import tempfile
-    with tempfile.TemporaryDirectory() as tmp:
-        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-        out = SPARK_QUERIES["top_ngrams"](spark, tmp).collect()
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = SPARK_QUERIES["top_ngrams"](spark, str(tmp_path)).collect()
     assert [(r.ngram, r.n_occ, r.n_docs) for r in out] == [
         ("a b c d e", 3, 3), ("b c d e f", 1, 1)]
