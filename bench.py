@@ -58,6 +58,7 @@ HEADLINE = [
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity
     "perplexity_buckets",     # CCNet head/middle/tail binning
+    "quality_classifier",     # GPT-3-style perceptron data selector
     "top_ngrams",             # boilerplate 5-gram census (TakeOrdered)
     "layout_reading_order",   # PDF/layout block parse (JVM-only)
     "dedup_simhash",          # SimHash fingerprints

@@ -1273,9 +1273,10 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 4096
 _DSIR_TOP_K = 100
 
-
-@_register("dsir_importance_weights", f"""
-WITH docs AS (
+# hashed unigram+bigram bag-of-ngram features, shared by the DSIR
+# selector and the perceptron quality classifier — ONE definition on
+# each engine so the two operators can never drift apart
+_FEATS_CTES = f"""docs AS (
   SELECT doc_id, string_split(text, ' ') AS w,
          {_EVAL_H_SQL} % 20 = 0 AS is_eval
   FROM documents),
@@ -1288,7 +1289,36 @@ feats AS (
   SELECT doc_id, is_eval,
          {_H_SQL.format(expr='gram')} % {_DSIR_BUCKETS} AS bucket,
          count(*) AS c
-  FROM grams GROUP BY ALL),
+  FROM grams GROUP BY ALL)"""
+
+
+def _hashed_ngram_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_eval, bucket, c): per-document hashed unigram +
+    bigram counts into {_DSIR_BUCKETS} buckets (Spark twin of
+    _FEATS_CTES)."""
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    w = F.col("w")
+    cnt = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(w, 1, cnt), F.slice(w, 2, cnt),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    is_eval = _h(F.col("doc_id").cast("string")) % 20 == 0
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"),
+                    is_eval.alias("is_eval"))
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", "is_eval",
+                F.explode(F.concat(w, bigrams)).alias("gram"))
+        .select("doc_id", "is_eval",
+                F.pmod(_h(F.col("gram")), F.lit(_DSIR_BUCKETS))
+                .alias("bucket"))
+        .groupBy("doc_id", "is_eval", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@_register("dsir_importance_weights", f"""
+WITH {_FEATS_CTES},
 bstats AS (
   SELECT bucket,
          sum(CASE WHEN is_eval THEN c ELSE 0 END) AS ct,
@@ -1339,24 +1369,7 @@ def dsir_importance_weights(spark: SparkSession,
     fold the same doubles and round to 6 before ranking, so tie
     behavior is engine-agnostic."""
     docs = _read(spark, sf_dir, "documents")
-    parallelism = spark.sparkContext.defaultParallelism
-    w = F.col("w")
-    cnt = F.greatest(F.size(w) - 1, F.lit(0))
-    bigrams = F.zip_with(F.slice(w, 1, cnt), F.slice(w, 2, cnt),
-                         lambda a, b: F.concat_ws(" ", a, b))
-    is_eval = _h(F.col("doc_id").cast("string")) % 20 == 0
-    feats = (
-        docs.select("doc_id", F.split("text", " ").alias("w"),
-                    is_eval.alias("is_eval"))
-        .repartition(parallelism, "doc_id")
-        .select("doc_id", "is_eval",
-                F.explode(F.concat(w, bigrams)).alias("gram"))
-        .select("doc_id", "is_eval",
-                F.pmod(_h(F.col("gram")), F.lit(_DSIR_BUCKETS))
-                .alias("bucket"))
-        .groupBy("doc_id", "is_eval", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+    feats = _hashed_ngram_feats(docs)
     bstats = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_eval"), F.col("c")).otherwise(0))
         .alias("ct"),
@@ -1390,6 +1403,136 @@ def dsir_importance_weights(spark: SparkSession,
             .select("doc_id", "n_features", "log_weight",
                     F.coalesce("selected", F.lit(False))
                     .alias("selected")))
+
+
+_QC_EPOCHS = 3
+_QC_NEG_DOCS = 120
+
+
+def _qc_oracle_sql() -> str:
+    """DuckDB mirror of quality_classifier: the batch-perceptron
+    epochs unrolled as (margins -> misclassified -> gradient ->
+    weights) CTE chains, all in exact integer arithmetic."""
+    parts = [f"""
+WITH {_FEATS_CTES},
+neg AS (
+  SELECT doc_id FROM documents
+  WHERE NOT ({_EVAL_H_SQL} % 20 = 0)
+  ORDER BY {_H_SQL.format(expr="'qc:' || cast(doc_id AS varchar)")},
+           doc_id
+  LIMIT {_QC_NEG_DOCS}),
+train AS (
+  SELECT doc_id, 1 AS label FROM documents
+  WHERE {_EVAL_H_SQL} % 20 = 0
+  UNION ALL
+  SELECT doc_id, -1 AS label FROM neg),
+tf AS (
+  SELECT f.doc_id, t.label, f.bucket, f.c
+  FROM feats f JOIN train t USING (doc_id)),
+w1 AS (
+  SELECT bucket, cast(sum(label * c) AS bigint) AS wt
+  FROM tf GROUP BY bucket)"""]
+    for e in range(2, _QC_EPOCHS + 1):
+        parts.append(f""",
+m{e} AS (
+  SELECT doc_id, label,
+         sum(c * coalesce(wt, 0)) AS m
+  FROM tf LEFT JOIN w{e - 1} USING (bucket)
+  GROUP BY doc_id, label),
+g{e} AS (
+  SELECT bucket, cast(sum(label * c) AS bigint) AS g
+  FROM tf JOIN (SELECT doc_id FROM m{e} WHERE label * m <= 0) mis
+    USING (doc_id)
+  GROUP BY bucket),
+w{e} AS (
+  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         coalesce(a.wt, 0) + coalesce(b.g, 0) AS wt
+  FROM w{e - 1} a FULL JOIN g{e} b ON a.bucket = b.bucket)""")
+    parts.append(f"""
+SELECT f.doc_id,
+       cast(sum(f.c * coalesce(w.wt, 0)) AS bigint) AS margin,
+       sum(f.c * coalesce(w.wt, 0)) > 0 AS predicted_target
+FROM feats f LEFT JOIN w{_QC_EPOCHS} w USING (bucket)
+GROUP BY f.doc_id""")
+    return "".join(parts)
+
+
+@_register("quality_classifier", _qc_oracle_sql())
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier data selection, the GPT-3/LLaMA recipe
+    (Brown et al. 2020 Appendix A; public method): train a linear
+    classifier to separate a high-quality TARGET corpus (here the
+    held-out hash partition) from a random sample of the raw pool,
+    then score every document — positive margin reads "looks like the
+    target". The model is a batch PERCEPTRON over the same hashed
+    unigram+bigram features DSIR uses: {_QC_EPOCHS} epochs, each
+    adding sum(label * counts) over the currently-misclassified
+    training docs to the bucket weights (epoch 1 starts from zero
+    weights, where every doc is misclassified). Integer weights,
+    counts, and margins end to end — like the fixed-point k-means,
+    the training loop is bit-reproducible across engines and shuffle
+    reduction orders, with no float summation anywhere.
+
+    Scale shape (100 TB verdict): the training set is BOUNDED (the
+    target partition plus a fixed {_QC_NEG_DOCS}-doc hash-rank
+    negative sample), and its features are built by exploding ONLY
+    the semi-joined training docs, then localCheckpointed — each
+    epoch is one small aggregate + a <= {_DSIR_BUCKETS}-row gradient
+    collect against it, never a corpus pass. The full corpus is
+    exploded exactly once, for final scoring, against the broadcast
+    weight table. Total: one bounded training loop + one corpus
+    pass.
+
+    On the synthetic driver corpus the target partition is a RANDOM
+    hash split — statistically identical to the pool — so the
+    classifier correctly finds no signal and predicts the majority
+    class everywhere (the same honesty contract as the isotropic ANN
+    recall caveat); tests/test_dsir.py proves real separation on a
+    planted-vocabulary corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    is_eval = _h(F.col("doc_id").cast("string")) % 20 == 0
+    neg_ids = _hash_sample_ids(docs.where(~is_eval), _QC_NEG_DOCS,
+                               salt="qc:")
+    train = (docs.where(is_eval)
+             .select("doc_id", F.lit(1).alias("label"))
+             .unionByName(neg_ids.select(
+                 "doc_id", F.lit(-1).alias("label"))))
+    # semi-join BEFORE the explode: only training docs get featurized
+    tf = (_hashed_ngram_feats(docs.join(F.broadcast(train.select("doc_id")),
+                                        "doc_id"))
+          .join(F.broadcast(train), "doc_id")
+          .select("doc_id", "label", "bucket", "c")
+          .localCheckpoint())
+    weights: dict = {}
+    for _ in range(_QC_EPOCHS):
+        if weights:
+            wdf = spark.createDataFrame(
+                sorted(weights.items()), "bucket long, wt long")
+            margins = (tf.join(F.broadcast(wdf), "bucket", "left")
+                       .groupBy("doc_id", "label")
+                       .agg(F.sum(F.col("c")
+                                  * F.coalesce("wt", F.lit(0)))
+                            .alias("m")))
+            mis = (margins.where(F.col("label") * F.col("m") <= 0)
+                   .select("doc_id"))
+        else:
+            mis = tf.select("doc_id").distinct()
+        grad = (tf.join(F.broadcast(mis), "doc_id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("label") * F.col("c")).alias("g"))
+                .collect())
+        for r in grad:
+            weights[int(r.bucket)] = weights.get(int(r.bucket), 0) \
+                + int(r.g)
+    wdf = spark.createDataFrame(sorted(weights.items()),
+                                "bucket long, wt long")
+    margin = F.sum(F.col("c") * F.coalesce("wt", F.lit(0)))
+    return (_hashed_ngram_feats(docs)
+            .join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("doc_id")
+            .agg(margin.cast("long").alias("margin"))
+            .select("doc_id", "margin",
+                    (F.col("margin") > 0).alias("predicted_target")))
 
 
 _SHINGLES_SQL = """

@@ -63,6 +63,61 @@ def test_target_vocab_outscores_disjoint_vocab(spark, dsir_dir):
     assert all(r.selected for r in rows.values())
 
 
+@pytest.fixture(scope="module")
+def classifier_dir(spark, tmp_path_factory):
+    """Separable corpus for the perceptron: positives (eval partition)
+    carry the target vocabulary; the raw pool is mostly off-vocabulary
+    with two on-vocabulary docs the classifier should recover."""
+    eval_ids = [i for i in range(400) if _is_eval(i)][:4]
+    raw_ids = [i for i in range(400) if not _is_eval(i)]
+    on_ids, off_ids = raw_ids[:2], raw_ids[2:12]
+    rows = ([(i, TARGET_TEXT, "en", "fix", len(TARGET_TEXT))
+             for i in eval_ids + on_ids]
+            + [(i, OFF_TEXT, "en", "fix", len(OFF_TEXT))
+               for i in off_ids])
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    path = tmp_path_factory.mktemp("qc")
+    docs.write.mode("overwrite").parquet(str(path / "documents.parquet"))
+    return str(path), set(eval_ids), set(on_ids), set(off_ids)
+
+
+def test_classifier_separates_planted_vocabularies(spark, classifier_dir):
+    """The synthetic driver corpus is NON-separable (the target
+    partition is a random hash split), so the classifier correctly
+    predicts nothing positive there — this fixture proves the
+    perceptron actually learns when signal exists: on-vocabulary raw
+    docs score positive, off-vocabulary docs negative."""
+    path, eval_ids, on_ids, off_ids = classifier_dir
+    rows = {r.doc_id: r for r in
+            SPARK_QUERIES["quality_classifier"](spark, path).collect()}
+    assert set(rows) == eval_ids | on_ids | off_ids
+    for i in eval_ids | on_ids:
+        assert rows[i].predicted_target, i
+        assert rows[i].margin > 0
+    for i in off_ids:
+        assert not rows[i].predicted_target, i
+        assert rows[i].margin < 0
+
+
+def test_classifier_fixture_oracle_parity(spark, classifier_dir):
+    path, _, _, _ = classifier_dir
+    df = SPARK_QUERIES["quality_classifier"](spark, path)
+    spark_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{path}/documents.parquet/*.parquet'")
+    result = con.execute(ORACLE_SQL["quality_classifier"])
+    oracle_rows = result.fetchall()
+    oracle_cols = [d[0] for d in result.description]
+    assert len(spark_rows) == len(oracle_rows)
+    assert sorted(df.columns) == sorted(oracle_cols)
+    assert value_hash(spark_rows, df.columns) == \
+        value_hash(oracle_rows, oracle_cols)
+
+
 def test_fixture_oracle_parity(spark, dsir_dir):
     path, _, _ = dsir_dir
     df = SPARK_QUERIES["dsir_importance_weights"](spark, path)
