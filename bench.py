@@ -55,6 +55,7 @@ HEADLINE = [
     "bpe_merge_candidates",   # tokenizer-induction pair counts
     "bpe_learn_merges",       # full 8-iteration BPE training loop
     "conversation_curation_funnel",  # end-to-end curation pipeline
+    "tool_transitions",       # agent tool-call Markov transitions
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity
     "perplexity_buckets",     # CCNet head/middle/tail binning

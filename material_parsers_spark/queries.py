@@ -451,6 +451,53 @@ def conversation_documents_chunked_query(spark: SparkSession,
         _turns_for(spark, sf_dir), max_chars=16384)
 
 
+@_register("conversation_tool_calls")
+def conversation_tool_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tool-call event log of the transcript table: one row per
+    turn that invoked a tool — (conv_id, turn_idx, tool). The
+    input_hint's `tool` column surfaced as a queryable fact stream
+    (map-only projection + filter, zero shuffle); frozen-golden
+    oracle, and the drift-gated INPUT fixture for tool_transitions'
+    computed oracle."""
+    return (_turns_for(spark, sf_dir)
+            .where(F.col("tool").isNotNull())
+            .select("conv_id", "turn_idx", "tool"))
+
+
+@_register("tool_transitions")
+def tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent process mining over the tool-call log: which tool follows
+    which inside a conversation. Consecutive tool-call turns form
+    (prev_tool, tool) transition pairs via one lag window per
+    conversation; output carries the transition count and the
+    round-6 conditional frequency P(tool | prev_tool) — the first-order
+    Markov view of agent behavior (the standard process-mining /
+    directly-follows-graph construction).
+
+    Scale shape (100 TB verdict): the lag window partitions by
+    conv_id — the same per-conversation ordering partitioning every
+    transcript operator uses, bounded per conversation, no global
+    sort. Transition counts are a map-side-combinable aggregate over
+    a #tools^2-bounded key space; the per-prev totals join is against
+    a #tools-row aggregate (broadcast). Computed DuckDB oracle from
+    the drift-gated conversation_tool_calls golden."""
+    calls = (_turns_for(spark, sf_dir)
+             .where(F.col("tool").isNotNull())
+             .select("conv_id", "turn_idx", "tool"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (calls
+             .withColumn("prev_tool", F.lag("tool").over(w))
+             .where(F.col("prev_tool").isNotNull()))
+    counts = (pairs.groupBy("prev_tool", "tool")
+              .agg(F.count("*").alias("n_transitions")))
+    totals = counts.groupBy("prev_tool").agg(
+        F.sum("n_transitions").alias("t"))
+    return (counts.join(F.broadcast(totals), "prev_tool")
+            .select("prev_tool", "tool", "n_transitions",
+                    F.round(F.col("n_transitions").cast("double")
+                            / F.col("t"), 6).alias("frac")))
+
+
 def conversation_fingerprints(turns: DataFrame) -> DataFrame:
     """(conv_id, conv_hash): md5 over the JSON of the ordered
     (turn_idx, role, text) struct array. JSON framing makes the
@@ -4621,6 +4668,7 @@ GOLDEN_QUERIES = (
     "conversation_documents",
     "conversation_documents_chunked",
     "conversation_dedup",
+    "conversation_tool_calls",
 )
 
 def golden_path(sf_name: str, query: str) -> str:
@@ -4712,6 +4760,22 @@ GOLDEN_INPUT_ORACLE_TEMPLATES = {
         " FROM read_parquet('{path}')",
         id_alias="chunk_key", string_ids=True),
         "conversation_documents_chunked"),
+    "tool_transitions": ("""
+WITH calls AS (SELECT conv_id, turn_idx, tool FROM read_parquet('{path}')),
+seq AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_tool
+  FROM calls),
+counts AS (
+  SELECT prev_tool, tool, cast(count(*) AS bigint) AS n_transitions
+  FROM seq WHERE prev_tool IS NOT NULL GROUP BY prev_tool, tool),
+tot AS (SELECT prev_tool, sum(n_transitions) AS t
+        FROM counts GROUP BY prev_tool)
+SELECT c.prev_tool, c.tool, c.n_transitions,
+       round(c.n_transitions::DOUBLE / t.t, 6) AS frac
+FROM counts c JOIN tot t USING (prev_tool)
+""", "conversation_tool_calls"),
 }
 for _name, (_template, _fixture) in GOLDEN_INPUT_ORACLE_TEMPLATES.items():
     # literal replace, NOT str.format: the PII oracle embeds regex
