@@ -481,9 +481,7 @@ def tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a #tools^2-bounded key space; the per-prev totals join is against
     a #tools-row aggregate (broadcast). Computed DuckDB oracle from
     the drift-gated conversation_tool_calls golden."""
-    calls = (_turns_for(spark, sf_dir)
-             .where(F.col("tool").isNotNull())
-             .select("conv_id", "turn_idx", "tool"))
+    calls = conversation_tool_calls(spark, sf_dir)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     pairs = (calls
              .withColumn("prev_tool", F.lag("tool").over(w))
@@ -1111,11 +1109,13 @@ def _hash_sample_ids(docs: DataFrame, n: int, salt: str = "") -> DataFrame:
             .orderBy("_h", "doc_id").limit(n).select("doc_id"))
 
 
-def _hash_sample_sql(n: int, salt: str = "") -> str:
-    """DuckDB mirror of _hash_sample_ids over the documents view."""
+def _hash_sample_sql(n: int, salt: str = "", where: str = "") -> str:
+    """DuckDB mirror of _hash_sample_ids over the documents view;
+    `where` optionally restricts the sampled universe."""
     expr = (f"'{salt}' || cast(doc_id AS varchar)" if salt
             else "cast(doc_id AS varchar)")
-    return (f"SELECT doc_id FROM documents ORDER BY "
+    clause = f" WHERE {where}" if where else ""
+    return (f"SELECT doc_id FROM documents{clause} ORDER BY "
             f"{_H_SQL.format(expr=expr)}, doc_id LIMIT {n}")
 
 
@@ -1462,12 +1462,8 @@ def _qc_oracle_sql() -> str:
     weights) CTE chains, all in exact integer arithmetic."""
     parts = [f"""
 WITH {_FEATS_CTES},
-neg AS (
-  SELECT doc_id FROM documents
-  WHERE NOT ({_EVAL_H_SQL} % 20 = 0)
-  ORDER BY {_H_SQL.format(expr="'qc:' || cast(doc_id AS varchar)")},
-           doc_id
-  LIMIT {_QC_NEG_DOCS}),
+neg AS ({_hash_sample_sql(_QC_NEG_DOCS, salt='qc:',
+                          where=f'NOT ({_EVAL_H_SQL} % 20 = 0)')}),
 train AS (
   SELECT doc_id, 1 AS label FROM documents
   WHERE {_EVAL_H_SQL} % 20 = 0
@@ -1563,7 +1559,8 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             mis = (margins.where(F.col("label") * F.col("m") <= 0)
                    .select("doc_id"))
         else:
-            mis = tf.select("doc_id").distinct()
+            # zero weights classify every training doc as misclassified
+            mis = train.select("doc_id")
         grad = (tf.join(F.broadcast(mis), "doc_id")
                 .groupBy("bucket")
                 .agg(F.sum(F.col("label") * F.col("c")).alias("g"))

@@ -101,35 +101,29 @@ def test_classifier_separates_planted_vocabularies(spark, classifier_dir):
         assert rows[i].margin < 0
 
 
-def test_classifier_fixture_oracle_parity(spark, classifier_dir):
-    path, _, _, _ = classifier_dir
-    df = SPARK_QUERIES["quality_classifier"](spark, path)
+def assert_documents_oracle_parity(spark, name: str, path: str) -> None:
+    """Shared Spark-vs-DuckDB parity harness for fixture dirs holding
+    only a documents table."""
+    df = SPARK_QUERIES[name](spark, path)
     spark_rows = [tuple(r) for r in df.collect()]
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
         f"'{path}/documents.parquet/*.parquet'")
-    result = con.execute(ORACLE_SQL["quality_classifier"])
+    result = con.execute(ORACLE_SQL[name])
     oracle_rows = result.fetchall()
     oracle_cols = [d[0] for d in result.description]
     assert len(spark_rows) == len(oracle_rows)
     assert sorted(df.columns) == sorted(oracle_cols)
     assert value_hash(spark_rows, df.columns) == \
         value_hash(oracle_rows, oracle_cols)
+
+
+def test_classifier_fixture_oracle_parity(spark, classifier_dir):
+    assert_documents_oracle_parity(
+        spark, "quality_classifier", classifier_dir[0])
 
 
 def test_fixture_oracle_parity(spark, dsir_dir):
-    path, _, _ = dsir_dir
-    df = SPARK_QUERIES["dsir_importance_weights"](spark, path)
-    spark_rows = [tuple(r) for r in df.collect()]
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM "
-        f"'{path}/documents.parquet/*.parquet'")
-    result = con.execute(ORACLE_SQL["dsir_importance_weights"])
-    oracle_rows = result.fetchall()
-    oracle_cols = [d[0] for d in result.description]
-    assert len(spark_rows) == len(oracle_rows)
-    assert sorted(df.columns) == sorted(oracle_cols)
-    assert value_hash(spark_rows, df.columns) == \
-        value_hash(oracle_rows, oracle_cols)
+    assert_documents_oracle_parity(
+        spark, "dsir_importance_weights", dsir_dir[0])
