@@ -32,7 +32,9 @@ sys.path.insert(0, REPO)
 
 DOC_QUERIES = ("decontaminate_span_removal", "training_order",
                "bpe_merge_candidates", "dedup_substring_repair",
-               "dsir_importance_weights", "eval_leakage_report")
+               "dsir_importance_weights", "eval_leakage_report",
+               "quality_classifier", "bpe_learn_merges",
+               "top_ngrams")
 
 
 def build_scaled_embeddings(spark, out: str, reps: int) -> int:
@@ -106,7 +108,8 @@ def main() -> None:
         # skips — both rows then measure the operator, not the cache
         q._turns_for(spark, "/root/testdata/sf0.1").count()
         for name in ("conversation_line_repair",
-                     "conversation_substring_repair"):
+                     "conversation_substring_repair",
+                     "tool_transitions"):
             start = time.time()
             materialize(q.SPARK_QUERIES[name](
                 spark, "/root/testdata/sf0.1"))
