@@ -56,6 +56,8 @@ HEADLINE = [
     "bpe_learn_merges",       # full 8-iteration BPE training loop
     "conversation_curation_funnel",  # end-to-end curation pipeline
     "tool_transitions",       # agent tool-call Markov transitions
+    "tool_retry_runs",        # same-tool run (loop) detection
+    "turn_latency_stats",     # per-role inter-turn latency
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity
     "perplexity_buckets",     # CCNet head/middle/tail binning

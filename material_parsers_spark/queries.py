@@ -496,6 +496,73 @@ def tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("t"), 6).alias("frac")))
 
 
+@_register("conversation_turn_meta")
+def conversation_turn_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn METADATA projection of the transcript table — (conv_id,
+    turn_idx, role, tool, ts), no text payload — the small frozen
+    fixture the timestamp/role analytics oracles compute from.
+    Map-only, zero shuffle; column pruning reaches the scan."""
+    return _turns_for(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "ts")
+
+
+@_register("turn_latency_stats")
+def turn_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role turn latency: for every turn with a predecessor in its
+    conversation, the gap to the previous turn's timestamp, aggregated
+    by the RESPONDING role — the operational view of agent transcripts
+    (how long assistant/tool turns take to arrive). Gaps are exact
+    epoch-microsecond differences (bigint); only the final mean
+    divides, identically composed and round-6'd on both engines.
+
+    Scale shape: one lag window under the standard per-conversation
+    ordering partitioning, then a #roles-row map-side-combinable
+    aggregate. Computed DuckDB oracle from the drift-gated
+    conversation_turn_meta golden."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (conversation_turn_meta(spark, sf_dir)
+            .withColumn("gap_us", us - F.lag(us).over(w))
+            .where(F.col("gap_us").isNotNull()))
+    return (gaps.groupBy("role")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.sum("gap_us").alias("sum_us"),
+                 F.min("gap_us").alias("min_us"),
+                 F.max("gap_us").alias("max_us"))
+            .select("role", "n_gaps",
+                    F.round(F.col("sum_us").cast("double")
+                            / F.col("n_gaps").cast("double")
+                            / 1000000.0, 6).alias("avg_gap_s"),
+                    "min_us", "max_us"))
+
+
+@_register("tool_retry_runs")
+def tool_retry_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-looping detection: maximal runs of CONSECUTIVE tool calls
+    (in tool-call sequence order — intervening non-tool turns do not
+    break a run, matching tool_transitions' adjacency) that invoke
+    the same tool, length >= 2 — the agent-behavior signal retry/loop
+    filters key on. Classic gaps-and-islands: a run id is the running
+    count of tool changes, one extra window over the same
+    per-conversation partitioning. Non-vacuous on the synthetic
+    corpus (~12% of transitions are self-transitions). Computed
+    DuckDB oracle from the drift-gated conversation_tool_calls
+    golden."""
+    calls = conversation_tool_calls(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    new_run = (F.lag("tool").over(w).isNull()
+               | (F.lag("tool").over(w) != F.col("tool"))).cast("int")
+    with_runs = calls.withColumn(
+        "run_id", F.sum(new_run).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (with_runs.groupBy("conv_id", "run_id")
+            .agg(F.min("tool").alias("tool"),
+                 F.min("turn_idx").alias("start_turn"),
+                 F.count("*").alias("run_len"))
+            .where(F.col("run_len") >= 2)
+            .select("conv_id", "tool", "start_turn", "run_len"))
+
+
 def conversation_fingerprints(turns: DataFrame) -> DataFrame:
     """(conv_id, conv_hash): md5 over the JSON of the ordered
     (turn_idx, role, text) struct array. JSON framing makes the
@@ -4666,6 +4733,7 @@ GOLDEN_QUERIES = (
     "conversation_documents_chunked",
     "conversation_dedup",
     "conversation_tool_calls",
+    "conversation_turn_meta",
 )
 
 def golden_path(sf_name: str, query: str) -> str:
@@ -4772,6 +4840,38 @@ tot AS (SELECT prev_tool, sum(n_transitions) AS t
 SELECT c.prev_tool, c.tool, c.n_transitions,
        round(c.n_transitions::DOUBLE / t.t, 6) AS frac
 FROM counts c JOIN tot t USING (prev_tool)
+""", "conversation_tool_calls"),
+    "turn_latency_stats": ("""
+WITH meta AS (SELECT conv_id, turn_idx, role, epoch_us(ts) AS us
+              FROM read_parquet('{path}')),
+gaps AS (
+  SELECT role,
+         us - lag(us) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS gap_us
+  FROM meta)
+SELECT role, cast(count(*) AS bigint) AS n_gaps,
+       round(cast(sum(gap_us) AS double)
+             / cast(count(*) AS double) / 1000000.0, 6) AS avg_gap_s,
+       min(gap_us) AS min_us, max(gap_us) AS max_us
+FROM gaps WHERE gap_us IS NOT NULL GROUP BY role
+""", "conversation_turn_meta"),
+    "tool_retry_runs": ("""
+WITH calls AS (SELECT conv_id, turn_idx, tool FROM read_parquet('{path}')),
+flagged AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN lag(tool) OVER w IS NULL
+                OR lag(tool) OVER w <> tool THEN 1 ELSE 0 END AS new_run
+  FROM calls WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+runs AS (
+  SELECT conv_id, turn_idx, tool,
+         sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS run_id
+  FROM flagged)
+SELECT conv_id, min(tool) AS tool,
+       cast(min(turn_idx) AS int) AS start_turn,
+       cast(count(*) AS bigint) AS run_len
+FROM runs GROUP BY conv_id, run_id
+HAVING count(*) >= 2
 """, "conversation_tool_calls"),
 }
 for _name, (_template, _fixture) in GOLDEN_INPUT_ORACLE_TEMPLATES.items():
