@@ -54,9 +54,12 @@ HEADLINE = [
     "training_order",         # dense global shuffle-order manifest
     "bpe_merge_candidates",   # tokenizer-induction pair counts
     "bpe_learn_merges",       # full 8-iteration BPE training loop
+    "bpe_encode_stats",       # merge-table application / token counts
+    "sft_examples",           # SFT pair manifest (capped context window)
     "conversation_curation_funnel",  # end-to-end curation pipeline
     "tool_transitions",       # agent tool-call Markov transitions
     "tool_retry_runs",        # same-tool run (loop) detection
+    "tool_output_stats",      # JSON tool-output mining per table
     "turn_latency_stats",     # per-role inter-turn latency
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity

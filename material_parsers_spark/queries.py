@@ -506,6 +506,111 @@ def conversation_turn_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "role", "tool", "ts")
 
 
+@_register("conversation_turns")
+def conversation_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT projection of the transcript table — (conv_id,
+    turn_idx, role, text) — the "extracted text per turn" view the
+    north rule's per-turn equality contract is stated over, and the
+    drift-gated input fixture for sft_examples' computed oracle.
+    Map-only, zero shuffle. Frozen-golden oracle."""
+    return _turns_for(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text")
+
+
+_SFT_CTX_TURNS = 4
+
+
+@_register("sft_examples")
+def sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example construction over transcripts: one training example
+    per ASSISTANT turn, with the rendered context window of up to
+    {_SFT_CTX_TURNS} preceding turns ("role: text" lines) and the turn
+    itself as the target — the standard way multi-turn agent
+    transcripts become supervised fine-tuning pairs. Emits the example
+    MANIFEST (context/target sizes + the 60-bit context hash), not the
+    payload: the hash pins the exact context bytes for the oracle while
+    the frame stays metadata-sized, and a writer joins text back by
+    (conv_id, turn_idx) at sink time.
+
+    Scale shape (100 TB verdict): {_SFT_CTX_TURNS} lag() columns over
+    ONE window under the standard per-conversation ordering
+    partitioning (bounded per conversation, no global sort); the
+    context window is turn-capped so per-row state is bounded no
+    matter how long a conversation runs — the unbounded
+    whole-prefix-per-row alternative is O(conv_len^2) bytes and dies
+    on the hot-conversation tail. Computed DuckDB oracle from the
+    drift-gated conversation_turns golden."""
+    return sft_example_manifest(conversation_turns(spark, sf_dir))
+
+
+def sft_example_manifest(turns: DataFrame,
+                         ctx_turns: int = _SFT_CTX_TURNS,
+                         target_role: str = "assistant") -> DataFrame:
+    """Core of sft_examples over any (conv_id, turn_idx, role, text)
+    frame: per target-role turn, the capped preceding-context manifest
+    (see sft_examples for semantics and scale shape)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    rendered = F.concat_ws(": ", "role", "text")
+    t = turns.select(
+        "conv_id", "turn_idx", "role",
+        F.length("text").cast("long").alias("n_target_chars"),
+        rendered.alias("r"))
+    lag_cols = [F.lag("r", k).over(w).alias(f"l{k}")
+                for k in range(ctx_turns, 0, -1)]
+    lagged = t.select("conv_id", "turn_idx", "role", "n_target_chars",
+                      *lag_cols)
+    names = [f"l{k}" for k in range(ctx_turns, 0, -1)]
+    ctx = F.concat_ws("\n", *names)
+    n_ctx = sum((F.col(n).isNotNull().cast("int") for n in names),
+                F.lit(0)).cast("int")
+    return (lagged.where(F.col("role") == target_role)
+            .select("conv_id", "turn_idx",
+                    n_ctx.alias("n_ctx_turns"),
+                    F.length(ctx).cast("long").alias("n_ctx_chars"),
+                    _h(ctx).alias("ctx_hash"),
+                    "n_target_chars"))
+
+
+@_register("tool_output_stats")
+def tool_output_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured mining of tool RESULTS: turns carrying a
+    structured tool-output blob (`tool output: {json}`) are parsed
+    JVM-side (get_json_object — no Python, no UDF) and rolled up per
+    reported table: call count, ok count, and row-count stats. This is
+    the transcript-pipeline step that turns opaque tool output text
+    into queryable operational facts (success rates, result sizes) —
+    the JSON-parsing capability axis none of the other operators
+    exercise.
+
+    Scale shape (100 TB verdict): prefix filter + JSON field extraction
+    are pure map-side column work; the rollup is one
+    map-side-combinable aggregate over a #tables-bounded key space.
+    Computed DuckDB oracle from the drift-gated conversation_turns
+    golden — DuckDB parses via json_extract_string, Spark via
+    get_json_object, so the parse semantics are verified through two
+    independent JSON implementations."""
+    payload = F.expr("substring(text, 14)")   # after 'tool output: '
+    j = (conversation_turns(spark, sf_dir)
+         .where(F.col("text").startswith("tool output: "))
+         .select(
+             F.get_json_object(payload, "$.table").alias("table_name"),
+             F.get_json_object(payload, "$.rows")
+              .cast("bigint").alias("n_rows"),
+             F.get_json_object(payload, "$.status").alias("status")))
+    return (j.groupBy("table_name")
+            .agg(F.count("*").alias("n_calls"),
+                 F.sum((F.col("status") == "ok").cast("bigint"))
+                  .alias("n_ok"),
+                 F.sum("n_rows").alias("total_rows"),
+                 F.min("n_rows").alias("min_rows"),
+                 F.max("n_rows").alias("max_rows"))
+            .select("table_name", "n_calls", "n_ok", "total_rows",
+                    F.round(F.col("total_rows").cast("double")
+                            / F.col("n_calls").cast("double"), 6)
+                     .alias("avg_rows"),
+                    "min_rows", "max_rows"))
+
+
 @_register("turn_latency_stats")
 def turn_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-role turn latency: for every turn with a predecessor in its
@@ -4340,10 +4445,12 @@ _BPE_MERGES = 8
 _US = "\x1f"                    # unit separator; symbols never contain it
 
 
-def _bpe_oracle_sql(k: int) -> str:
-    """DuckDB mirror of bpe_learn_merges: the k merge iterations
-    unrolled as (pairs -> top-1 -> replace) CTE triples over the
-    wrapped-symbol vocabulary encoding."""
+def _bpe_vocab_ctes(k: int) -> str:
+    """Shared DuckDB CTE chain for the BPE queries: k merge iterations
+    unrolled as (pairs -> top-1 -> replace) triples over the
+    wrapped-symbol vocabulary encoding. Carries the original word `w`
+    through every v{r} so the APPLY oracle can map word -> final
+    symbol count; the LEARN oracle simply ignores the column."""
     us = "chr(31)"
     sep2 = f"{us} || {us}"
     parts = [f"""
@@ -4352,7 +4459,7 @@ WITH words AS (
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
   WHERE w <> '' AND w NOT LIKE '%' || {us} || '%' GROUP BY w),
 v0 AS (
-  SELECT array_to_string(list_transform(
+  SELECT w, array_to_string(list_transform(
              generate_series(1, length(w)),
              i -> {us} || substr(w, i, 1) || {us}), '') AS enc, f
   FROM words)"""]
@@ -4370,16 +4477,48 @@ t{r} AS (
   SELECT pair, cast(sum(f) AS bigint) AS n
   FROM p{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
 v{r} AS (
-  SELECT replace(v.enc,
+  SELECT v.w, replace(v.enc,
                  {us} || {left} || {us} || {us} || {right} || {us},
                  {us} || {left} || {right} || {us}) AS enc, v.f
   FROM v{r - 1} v CROSS JOIN t{r} t)""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """DuckDB mirror of bpe_learn_merges: the merge table straight off
+    the per-iteration top-1 CTEs."""
     selects = [
         (f"SELECT {r} AS merge_rank, split_part(pair, chr(31), 1)"
          f" AS left_sym, split_part(pair, chr(31), 2) AS right_sym,"
          f" n AS n_occurrences FROM t{r}")
         for r in range(1, k + 1)]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_vocab_ctes(k) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_apply_oracle_sql(k: int) -> str:
+    """DuckDB mirror of bpe_encode_stats: learn the same k merges, then
+    map word -> final symbol count off v{k} and aggregate per document.
+    (DuckDB applies via the vocabulary join; Spark applies the merge
+    chain per word occurrence — same math, independently computed.)"""
+    us = "chr(31)"
+    sep2 = f"{us} || {us}"
+    return _bpe_vocab_ctes(k) + f""",
+m AS (SELECT w, cast(len(string_split(trim(enc, {us}), {sep2}))
+           AS bigint) AS n_syms
+      FROM v{k}),
+docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+agg AS (SELECT d.doc_id, cast(count(*) AS bigint) AS n_words,
+               cast(sum(m.n_syms) AS bigint) AS n_bpe_tokens
+        FROM (SELECT * FROM docw
+              WHERE w <> '' AND w NOT LIKE '%' || {us} || '%') d
+        JOIN m USING (w)
+        GROUP BY d.doc_id)
+SELECT doc.doc_id,
+       cast(coalesce(a.n_words, 0) AS bigint) AS n_words,
+       cast(coalesce(a.n_bpe_tokens, 0) AS bigint) AS n_bpe_tokens
+FROM documents doc LEFT JOIN agg a USING (doc_id)
+"""
 
 
 @_register("bpe_learn_merges", _bpe_oracle_sql(_BPE_MERGES))
@@ -4409,6 +4548,24 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered collect. The corpus is never re-read after the first
     collapse; per-iteration cost is vocabulary-sized regardless of
     corpus size."""
+    out = _bpe_merges_for(spark, sf_dir)
+    return spark.createDataFrame(
+        out, "merge_rank int, left_sym string, right_sym string, "
+             "n_occurrences bigint")
+
+
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:
+    """Run the BPE training loop (see bpe_learn_merges) and return the
+    learned merge table as [(rank, left_sym, right_sym, n)]. Cached per
+    (session, scale directory): the merge table is a tokenizer ARTIFACT
+    — learn once, apply from then on — so bpe_encode_stats must not
+    re-pay the k training jobs when the learn query already ran."""
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir)
+    if key in _BPE_MERGES_CACHE:
+        return _BPE_MERGES_CACHE[key]
     docs = _read(spark, sf_dir, "documents")
     words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
              .where((F.col("w") != "") & ~F.col("w").contains(_US))
@@ -4440,9 +4597,60 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = top[0].pair.split(_US)
         merges.append((a, b))
         out.append((rank, a, b, int(top[0].n)))
-    return spark.createDataFrame(
-        out, "merge_rank int, left_sym string, right_sym string, "
-             "n_occurrences bigint")
+    _BPE_MERGES_CACHE[key] = out
+    return out
+
+
+@_register("bpe_encode_stats", _bpe_apply_oracle_sql(_BPE_MERGES))
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER APPLICATION — the other half of the BPE story: apply
+    the learned merge table (same training loop as bpe_learn_merges,
+    cached per session+scale) to every document and report the per-doc
+    subword token count next to the whitespace word count. This is the
+    token counting a training-data pipeline budgets with: corpus token
+    totals, per-doc sequence lengths, and fertility (tokens/word) all
+    read off this frame.
+
+    Scale shape (100 TB verdict): application is PURE MAP-SIDE column
+    algebra — each word occurrence is wrapped-symbol encoded and run
+    through the driver-inlined merge chain of literal replaces inside
+    one aggregate() fold; the corpus crosses ZERO shuffles and never
+    joins a vocabulary table (the join alternative dedups work per
+    distinct word but forces a corpus-wide exchange — the wrong trade
+    when the merge chain is a constant k replaces per word). Exactly
+    how production tokenizers run under Spark: broadcast/inline the
+    merge table, map the corpus once. The DuckDB oracle independently
+    applies via the vocabulary join, so both engines reach the same
+    counts through DIFFERENT plans — the apply semantics are what is
+    verified, not a shared code path."""
+    merges = [(a, b) for _rank, a, b, _n in _bpe_merges_for(spark, sf_dir)]
+    return bpe_token_counts(_read(spark, sf_dir, "documents"), merges)
+
+
+def bpe_token_counts(docs: DataFrame, merges: list) -> DataFrame:
+    """Core of bpe_encode_stats over any (doc_id, text) frame: apply an
+    ordered [(left_sym, right_sym)] merge table per word occurrence and
+    count the resulting subword tokens (see bpe_encode_stats for the
+    wrapped-symbol encoding and scale shape)."""
+    def n_syms(w):
+        enc = F.array_join(
+            F.transform(F.sequence(F.lit(1), F.length(w)),
+                        lambda i: F.concat(F.lit(_US), w.substr(i, F.lit(1)),
+                                           F.lit(_US))),
+            "")
+        for a, b in merges:
+            enc = F.replace(enc, F.lit(f"{_US}{a}{_US}{_US}{b}{_US}"),
+                            F.lit(f"{_US}{a}{b}{_US}"))
+        return F.size(F.split(F.btrim(enc, F.lit(_US)),
+                              F.lit(_US + _US))).cast("long")
+
+    words = F.filter(F.split("text", " "),
+                     lambda w: (w != "") & ~w.contains(_US))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + n_syms(w)).alias("n_bpe_tokens"))
 
 
 # Target mixture over the documents table's lang column (the "domain"
@@ -4699,6 +4907,7 @@ def clear_turns_cache() -> None:
             except Exception:
                 pass
         cache.clear()
+    _BPE_MERGES_CACHE.clear()   # plain lists, nothing to unpersist
 
 
 # ---------------------------------------------------------------------------
@@ -4734,6 +4943,7 @@ GOLDEN_QUERIES = (
     "conversation_dedup",
     "conversation_tool_calls",
     "conversation_turn_meta",
+    "conversation_turns",
 )
 
 def golden_path(sf_name: str, query: str) -> str:
@@ -4855,6 +5065,46 @@ SELECT role, cast(count(*) AS bigint) AS n_gaps,
        min(gap_us) AS min_us, max(gap_us) AS max_us
 FROM gaps WHERE gap_us IS NOT NULL GROUP BY role
 """, "conversation_turn_meta"),
+    "tool_output_stats": ("""
+WITH j AS (
+  SELECT json_extract_string(substr(text, 14), '$.table') AS table_name,
+         cast(json_extract_string(substr(text, 14), '$.rows') AS bigint)
+           AS n_rows,
+         json_extract_string(substr(text, 14), '$.status') AS status
+  FROM read_parquet('{path}')
+  WHERE text LIKE 'tool output: %')
+SELECT table_name, cast(count(*) AS bigint) AS n_calls,
+       cast(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS bigint)
+         AS n_ok,
+       cast(sum(n_rows) AS bigint) AS total_rows,
+       round(cast(sum(n_rows) AS double)
+             / cast(count(*) AS double), 6) AS avg_rows,
+       min(n_rows) AS min_rows, max(n_rows) AS max_rows
+FROM j GROUP BY table_name
+""", "conversation_turns"),
+    "sft_examples": ("""
+WITH t AS (SELECT conv_id, turn_idx, role, text,
+                  concat_ws(': ', role, text) AS r
+           FROM read_parquet('{path}')),
+lagged AS (
+  SELECT conv_id, turn_idx, role,
+         cast(length(text) AS bigint) AS n_target_chars,
+         lag(r, 4) OVER w AS l4, lag(r, 3) OVER w AS l3,
+         lag(r, 2) OVER w AS l2, lag(r, 1) OVER w AS l1
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx,
+       cast((CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS int)
+         AS n_ctx_turns,
+       cast(length(concat_ws(chr(10), l4, l3, l2, l1)) AS bigint)
+         AS n_ctx_chars,
+       cast(('0x' || substr(md5(concat_ws(chr(10), l4, l3, l2, l1)),
+                            1, 15)) AS bigint) AS ctx_hash,
+       n_target_chars
+FROM lagged WHERE role = 'assistant'
+""", "conversation_turns"),
     "tool_retry_runs": ("""
 WITH calls AS (SELECT conv_id, turn_idx, tool FROM read_parquet('{path}')),
 flagged AS (
