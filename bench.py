@@ -139,6 +139,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                 from material_parsers_spark.queries import (
                     clear_extraction_cache)
                 clear_extraction_cache()
+            elif name == "bpe_learn_merges":
+                # same contract for the tokenizer trainer: it must pay
+                # the 8 training jobs every rep (the merge table is
+                # cached per session for bpe_encode_stats, which then
+                # deliberately measures APPLICATION amortized)
+                from material_parsers_spark.queries import (
+                    _BPE_MERGES_CACHE)
+                _BPE_MERGES_CACHE.clear()
             start = time.time()
             materialize(runnable[name](spark, sf_dir))
             reps.append(round(time.time() - start, 3))

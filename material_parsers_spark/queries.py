@@ -588,9 +588,20 @@ def tool_output_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computed DuckDB oracle from the drift-gated conversation_turns
     golden — DuckDB parses via json_extract_string, Spark via
     get_json_object, so the parse semantics are verified through two
-    independent JSON implementations."""
+    independent JSON implementations. Malformed payloads yield NULL
+    fields on BOTH engines (Spark natively; the oracle gates the
+    payload through json_valid because DuckDB's extractor throws);
+    pathological blobs one parser accepts and the other rejects remain
+    a documented edge — the contract is NULL-on-malformed, not
+    parser-grammar equality."""
+    return tool_output_rollup(conversation_turns(spark, sf_dir))
+
+
+def tool_output_rollup(turns: DataFrame) -> DataFrame:
+    """Core of tool_output_stats over any frame with a text column
+    (see tool_output_stats for semantics and scale shape)."""
     payload = F.expr("substring(text, 14)")   # after 'tool output: '
-    j = (conversation_turns(spark, sf_dir)
+    j = (turns
          .where(F.col("text").startswith("tool output: "))
          .select(
              F.get_json_object(payload, "$.table").alias("table_name"),
@@ -599,7 +610,11 @@ def tool_output_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.get_json_object(payload, "$.status").alias("status")))
     return (j.groupBy("table_name")
             .agg(F.count("*").alias("n_calls"),
-                 F.sum((F.col("status") == "ok").cast("bigint"))
+                 # when(...).otherwise(0), NOT a bool cast: a NULL
+                 # status (malformed payload) must count 0 like the
+                 # oracle's CASE...ELSE 0, not propagate NULL into sum
+                 F.sum(F.when(F.col("status") == "ok", F.lit(1))
+                        .otherwise(F.lit(0)).cast("bigint"))
                   .alias("n_ok"),
                  F.sum("n_rows").alias("total_rows"),
                  F.min("n_rows").alias("min_rows"),
@@ -4445,12 +4460,48 @@ _BPE_MERGES = 8
 _US = "\x1f"                    # unit separator; symbols never contain it
 
 
+# The wrapped-symbol encoding is the delicate invariant the whole BPE
+# story rests on (learn AND apply must agree byte-for-byte on it), so
+# there is exactly ONE Spark-side definition of each piece:
+
+def _bpe_wrap(w):
+    """Wrapped-symbol encoding of a word: every single-character symbol
+    delimited by its own U+001F pair, so a plain literal replace
+    implements the greedy left-to-right merge exactly."""
+    return F.array_join(
+        F.transform(F.sequence(F.lit(1), F.length(w)),
+                    lambda i: F.concat(F.lit(_US), w.substr(i, F.lit(1)),
+                                       F.lit(_US))),
+        "")
+
+
+def _bpe_apply_chain(enc, merges):
+    """Apply an ordered [(left_sym, right_sym)] merge table to a
+    wrapped-symbol encoding as a chain of literal replaces."""
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"{_US}{a}{_US}{_US}{b}{_US}"),
+                        F.lit(f"{_US}{a}{b}{_US}"))
+    return enc
+
+
+def _bpe_symbols(enc):
+    """Split a wrapped-symbol encoding back into its symbol array."""
+    return F.split(F.btrim(enc, F.lit(_US)), F.lit(_US + _US))
+
+
 def _bpe_vocab_ctes(k: int) -> str:
     """Shared DuckDB CTE chain for the BPE queries: k merge iterations
     unrolled as (pairs -> top-1 -> replace) triples over the
     wrapped-symbol vocabulary encoding. Carries the original word `w`
     through every v{r} so the APPLY oracle can map word -> final
-    symbol count; the LEARN oracle simply ignores the column."""
+    symbol count; the LEARN oracle simply ignores the column.
+
+    v{r} LEFT JOINs its (0-or-1-row) t{r}: when the corpus exhausts its
+    merges before round k (every word a single symbol), t{r} is empty
+    and a CROSS JOIN would annihilate the vocabulary — zeroing every
+    apply count. The pass-through keeps v stable, and cannot re-emit a
+    merge either: t{r} is only empty when p{r} found no adjacent pair,
+    which stays true for every later round over an unchanged v."""
     us = "chr(31)"
     sep2 = f"{us} || {us}"
     parts = [f"""
@@ -4477,10 +4528,12 @@ t{r} AS (
   SELECT pair, cast(sum(f) AS bigint) AS n
   FROM p{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
 v{r} AS (
-  SELECT v.w, replace(v.enc,
+  SELECT v.w,
+         CASE WHEN t.pair IS NULL THEN v.enc
+              ELSE replace(v.enc,
                  {us} || {left} || {us} || {us} || {right} || {us},
-                 {us} || {left} || {right} || {us}) AS enc, v.f
-  FROM v{r - 1} v CROSS JOIN t{r} t)""")
+                 {us} || {left} || {right} || {us}) END AS enc, v.f
+  FROM v{r - 1} v LEFT JOIN t{r} t ON true)""")
     return "".join(parts)
 
 
@@ -4570,21 +4623,14 @@ def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:
     words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
              .where((F.col("w") != "") & ~F.col("w").contains(_US))
              .groupBy("w").agg(F.count("*").alias("f")))
-    enc0 = F.expr(
-        "array_join(transform(sequence(1, char_length(w)), "
-        "i -> concat(chr(31), substring(w, i, 1), chr(31))), '')")
-    vocab = words.select(enc0.alias("enc"), "f").localCheckpoint()
+    vocab = words.select(_bpe_wrap(F.col("w")).alias("enc"), "f") \
+        .localCheckpoint()
     merges = []
     out = []
     for rank in range(1, _BPE_MERGES + 1):
-        cur = F.col("enc")
-        for a, b in merges:
-            cur = F.replace(cur, F.lit(f"{_US}{a}{_US}{_US}{b}{_US}"),
-                            F.lit(f"{_US}{a}{b}{_US}"))
-        syms = F.split(F.expr("trim(BOTH chr(31) FROM enc)"),
-                       _US + _US)
+        cur = _bpe_apply_chain(F.col("enc"), merges)
         sel = vocab.select(cur.alias("enc"), "f") \
-            .select(syms.alias("s"), "f")
+            .select(_bpe_symbols(F.col("enc")).alias("s"), "f")
         cnt = F.greatest(F.size("s") - 1, F.lit(0))
         pairs = F.zip_with(
             F.slice("s", 1, cnt), F.slice("s", 2, cnt),
@@ -4633,16 +4679,8 @@ def bpe_token_counts(docs: DataFrame, merges: list) -> DataFrame:
     count the resulting subword tokens (see bpe_encode_stats for the
     wrapped-symbol encoding and scale shape)."""
     def n_syms(w):
-        enc = F.array_join(
-            F.transform(F.sequence(F.lit(1), F.length(w)),
-                        lambda i: F.concat(F.lit(_US), w.substr(i, F.lit(1)),
-                                           F.lit(_US))),
-            "")
-        for a, b in merges:
-            enc = F.replace(enc, F.lit(f"{_US}{a}{_US}{_US}{b}{_US}"),
-                            F.lit(f"{_US}{a}{b}{_US}"))
-        return F.size(F.split(F.btrim(enc, F.lit(_US)),
-                              F.lit(_US + _US))).cast("long")
+        return F.size(_bpe_symbols(
+            _bpe_apply_chain(_bpe_wrap(w), merges))).cast("long")
 
     words = F.filter(F.split("text", " "),
                      lambda w: (w != "") & ~w.contains(_US))
@@ -5066,13 +5104,21 @@ SELECT role, cast(count(*) AS bigint) AS n_gaps,
 FROM gaps WHERE gap_us IS NOT NULL GROUP BY role
 """, "conversation_turn_meta"),
     "tool_output_stats": ("""
-WITH j AS (
-  SELECT json_extract_string(substr(text, 14), '$.table') AS table_name,
-         cast(json_extract_string(substr(text, 14), '$.rows') AS bigint)
-           AS n_rows,
-         json_extract_string(substr(text, 14), '$.status') AS status
+WITH p AS (
+  -- NULL the payload when it is not valid JSON: DuckDB's extractor
+  -- THROWS on malformed input while Spark's get_json_object returns
+  -- NULL — the CASE restores the NULL-on-malformed contract so one
+  -- bad blob cannot abort the whole oracle
+  SELECT CASE WHEN json_valid(substr(text, 14))
+              THEN substr(text, 14) END AS payload
   FROM read_parquet('{path}')
-  WHERE text LIKE 'tool output: %')
+  WHERE text LIKE 'tool output: %'),
+j AS (
+  SELECT json_extract_string(payload, '$.table') AS table_name,
+         cast(json_extract_string(payload, '$.rows') AS bigint)
+           AS n_rows,
+         json_extract_string(payload, '$.status') AS status
+  FROM p)
 SELECT table_name, cast(count(*) AS bigint) AS n_calls,
        cast(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS bigint)
          AS n_ok,

@@ -3,6 +3,8 @@ transcripts) and bpe_token_counts (BPE merge-table application). The
 registered queries' oracle parity runs in tools/check_oracles.py; these
 tests pin the hand-checkable semantics on tiny planted frames."""
 
+import os
+
 import pytest
 
 from material_parsers_spark.pipeline.session import build_session
@@ -129,3 +131,34 @@ def test_bpe_no_merges_counts_characters(spark):
     out = {r.doc_id: r for r in bpe_token_counts(
         _docs(spark, [(1, "hello hi")]), []).collect()}
     assert out[1].n_bpe_tokens == 5 + 2
+
+
+def test_bpe_apply_oracle_survives_merge_exhaustion(spark,
+                                                    tmp_path_factory):
+    """Regression: a corpus that exhausts its merges before round 8
+    ('ab a ab' fully merges after ONE round) used to zero out the apply
+    oracle — the empty t{r} CROSS JOIN annihilated the vocabulary. The
+    LEFT JOIN pass-through must keep both engines at (3 words, 3
+    tokens) AND keep the learn oracle emitting exactly one merge."""
+    import duckdb
+
+    from material_parsers_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    sf_dir = str(tmp_path_factory.mktemp("bpe-exhaust"))
+    _docs(spark, [(1, "ab a ab")]).toPandas().to_parquet(
+        os.path.join(sf_dir, "documents.parquet"), index=False)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{sf_dir}/documents.parquet')")
+    learned = SPARK_QUERIES["bpe_learn_merges"](spark, sf_dir).collect()
+    assert [(r.left_sym, r.right_sym) for r in learned] == [("a", "b")]
+    assert con.execute(ORACLE_SQL["bpe_learn_merges"]).fetchall() == \
+        [(1, "a", "b", 2)]
+
+    spark_rows = sorted(tuple(r) for r in
+                        SPARK_QUERIES["bpe_encode_stats"](
+                            spark, sf_dir).collect())
+    oracle_rows = sorted(con.execute(
+        ORACLE_SQL["bpe_encode_stats"]).fetchall())
+    assert spark_rows == oracle_rows == [(1, 3, 3)]
