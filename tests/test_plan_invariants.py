@@ -157,3 +157,55 @@ def test_bpe_top_k_is_take_ordered_not_global_sort(spark):
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_bpe_apply_is_a_zero_shuffle_projection(spark):
+    """Pins bpe_encode_stats' application scale shape: the merge chain
+    is driver-inlined literal replaces inside one aggregate() fold —
+    the corpus lineage is a pure projection: no Exchange, no Join, no
+    Python anywhere (the shuffle-join-a-vocabulary alternative is the
+    wrong trade at scale)."""
+    from material_parsers_spark import queries as q
+
+    docs = q._read(spark, SF_DIR, "documents")
+    plan = q.bpe_token_counts(docs, [("e", "r"), ("er", "s")]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_sft_examples_pays_exactly_one_window_exchange(spark):
+    """Pins the SFT-manifest scale shape: all 4 context lags ride ONE
+    window under the per-conversation ordering partitioning — exactly
+    one hash exchange, one Window node, no global sort, no Python."""
+    import re
+
+    df = SPARK_QUERIES["sft_examples"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the cached turns table embeds its own generation plan (one window
+    # shuffle, paid once per session) under InMemoryRelation — count
+    # only the query's own operators above the cache scan
+    own = plan.split("InMemoryRelation")[0]
+    assert len(re.findall(r"\bExchange hashpartitioning", own)) == 1
+    assert "Exchange rangepartitioning" not in own
+    assert own.count("Window") == 1
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_tool_output_stats_is_filter_project_aggregate(spark):
+    """Pins the JSON-mining scale shape: prefix filter + get_json_object
+    are map-side; the only exchange is the #tables-bounded rollup; no
+    window, no join, no Python."""
+    import re
+
+    df = SPARK_QUERIES["tool_output_stats"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    own = plan.split("InMemoryRelation")[0]   # above the turns cache scan
+    assert len(re.findall(r"\bExchange hashpartitioning", own)) == 1
+    assert "Join" not in own
+    assert "Window" not in own
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan

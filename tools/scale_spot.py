@@ -34,7 +34,7 @@ DOC_QUERIES = ("decontaminate_span_removal", "training_order",
                "bpe_merge_candidates", "dedup_substring_repair",
                "dsir_importance_weights", "eval_leakage_report",
                "quality_classifier", "bpe_learn_merges",
-               "top_ngrams")
+               "bpe_encode_stats", "top_ngrams")
 
 
 def build_scaled_embeddings(spark, out: str, reps: int) -> int:
@@ -109,7 +109,9 @@ def main() -> None:
         q._turns_for(spark, "/root/testdata/sf0.1").count()
         for name in ("conversation_line_repair",
                      "conversation_substring_repair",
-                     "tool_transitions"):
+                     "tool_transitions",
+                     "sft_examples",
+                     "tool_output_stats"):
             start = time.time()
             materialize(q.SPARK_QUERIES[name](
                 spark, "/root/testdata/sf0.1"))

@@ -23,6 +23,9 @@ QUERIES = [
     "stable_ordering",
     "tagger_spans",
     "multimodal_frame_sample",
+    "bpe_encode_stats",
+    "sft_examples",
+    "tool_output_stats",
 ]
 
 
