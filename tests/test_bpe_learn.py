@@ -66,3 +66,44 @@ def test_learned_merges_match_reference_bpe(spark, tmp_path):
     # is itself a merged multi-char symbol
     assert any(len(a) > 1 or len(b) > 1 for a, b, _ in expected)
     assert any("aa" in (a + b) for a, b, _ in expected)
+
+
+def ref_apply(text: str, merges) -> int:
+    """Apply the learned merge table to every word occurrence the way
+    tokenizers do (ordered greedy left-to-right per merge) and return
+    the total token count."""
+    total = 0
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for a, b, _n in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total
+
+
+def test_token_counts_match_reference_apply(spark, tmp_path):
+    """Differential for the APPLY half: per-doc subword counts from
+    bpe_encode_stats must equal the Python reference tokenizer applied
+    with the reference-learned merges — on the same corpus whose learn
+    differential already passes, plus a doc of unseen words (no merge
+    fires: count = character count)."""
+    unseen = "zq zq xv"
+    docs = spark.createDataFrame(
+        [(1, TEXT), (2, unseen)], "doc_id bigint, text string")
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    merges = ref_bpe(TEXT + " " + unseen, 8)
+    out = {r.doc_id: r for r in SPARK_QUERIES["bpe_encode_stats"](
+        spark, str(tmp_path)).collect()}
+    assert out[1].n_bpe_tokens == ref_apply(TEXT, merges)
+    assert out[2].n_bpe_tokens == ref_apply(unseen, merges)
+    assert out[2].n_words == 3

@@ -176,10 +176,14 @@ def test_bpe_apply_is_a_zero_shuffle_projection(spark):
         assert node not in plan
 
 
-def test_sft_examples_pays_exactly_one_window_exchange(spark):
+def test_sft_examples_pays_at_most_one_window_exchange(spark):
     """Pins the SFT-manifest scale shape: all 4 context lags ride ONE
-    window under the per-conversation ordering partitioning — exactly
-    one hash exchange, one Window node, no global sort, no Python."""
+    window under the per-conversation ordering partitioning — at most
+    one hash exchange (ZERO when the cached turns relation is already
+    materialized: its generation window leaves it hash-partitioned by
+    conv_id, so Catalyst elides the shuffle and the manifest rides the
+    existing partitioning — the plan the operator is designed for),
+    one Window node, no global sort, no Python."""
     import re
 
     df = SPARK_QUERIES["sft_examples"](spark, SF_DIR)
@@ -188,7 +192,7 @@ def test_sft_examples_pays_exactly_one_window_exchange(spark):
     # shuffle, paid once per session) under InMemoryRelation — count
     # only the query's own operators above the cache scan
     own = plan.split("InMemoryRelation")[0]
-    assert len(re.findall(r"\bExchange hashpartitioning", own)) == 1
+    assert len(re.findall(r"\bExchange hashpartitioning", own)) <= 1
     assert "Exchange rangepartitioning" not in own
     assert own.count("Window") == 1
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
