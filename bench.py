@@ -50,7 +50,9 @@ HEADLINE = [
     "conversation_line_dedup",  # C4-style shared-line census
     "conversation_line_repair",  # C4-style duplicate-line excision
     "pack_training_sequences",  # sharded fixed-length packing manifest
+    "packing_efficiency",     # per-shard fill/fragmentation report
     "domain_mixture",         # per-domain epoch-upsampling manifest
+    "temperature_sampling",   # sqrt-tempered domain sampling weights
     "training_order",         # dense global shuffle-order manifest
     "bpe_merge_candidates",   # tokenizer-induction pair counts
     "bpe_learn_merges",       # full 8-iteration BPE training loop

@@ -3272,6 +3272,129 @@ def pack_training_sequences(spark: SparkSession,
     )
 
 
+@_register("packing_efficiency", f"""
+WITH manifest AS ({ORACLE_SQL['pack_training_sequences']}),
+per_doc AS (
+  SELECT shard, doc_id, cast(count(*) AS bigint) AS n_spans
+  FROM manifest GROUP BY shard, doc_id),
+docs_per_shard AS (
+  SELECT shard, cast(count(*) AS bigint) AS n_docs,
+         cast(sum(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) AS bigint)
+           AS n_fragmented_docs
+  FROM per_doc GROUP BY shard),
+seqs_per_shard AS (
+  SELECT shard, cast(count(DISTINCT seq_id) AS bigint) AS n_seqs,
+         cast(sum(seq_end - seq_begin) AS bigint) AS n_tokens
+  FROM manifest GROUP BY shard)
+SELECT d.shard, d.n_docs, d.n_fragmented_docs, s.n_seqs, s.n_tokens,
+       cast(s.n_tokens - (s.n_seqs - 1) * {_PACK_SEQ_LEN} AS bigint)
+         AS tail_fill,
+       round(cast(s.n_tokens AS double)
+             / (cast(s.n_seqs AS double) * {_PACK_SEQ_LEN}.0), 6)
+         AS fill_frac
+FROM docs_per_shard d JOIN seqs_per_shard s USING (shard)
+""")
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing EFFICIENCY report over the pack_training_sequences
+    manifest — the numbers a training run is budgeted and debugged
+    with: per shard, document count, how many documents got FRAGMENTED
+    across a sequence boundary (they lose cross-boundary attention),
+    sequence count, packed token total, the fill of the one partial
+    tail sequence, and the overall fill fraction (concatenation
+    packing wastes only the tail, so fill_frac -> 1 as shards grow —
+    this report is what proves that).
+
+    Scale shape: two aggregates over the manifest (per-doc span
+    counts, per-shard sequence stats) joined on the #shards-row key —
+    the join is trivially broadcast; nothing touches text. The oracle
+    composes the REGISTERED packing-manifest SQL as a CTE, so the
+    report can never drift from the manifest it summarizes."""
+    m = pack_training_sequences(spark, sf_dir)
+    per_doc = m.groupBy("shard", "doc_id").agg(
+        F.count("*").alias("n_spans"))
+    docs_per_shard = per_doc.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_spans") > 1, F.lit(1)).otherwise(F.lit(0))
+              .cast("bigint")).alias("n_fragmented_docs"))
+    seqs_per_shard = m.groupBy("shard").agg(
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.sum(F.col("seq_end") - F.col("seq_begin")).alias("n_tokens"))
+    return (docs_per_shard
+            .join(F.broadcast(seqs_per_shard), "shard")
+            .select("shard", "n_docs", "n_fragmented_docs", "n_seqs",
+                    "n_tokens",
+                    (F.col("n_tokens")
+                     - (F.col("n_seqs") - 1) * _PACK_SEQ_LEN)
+                    .cast("bigint").alias("tail_fill"),
+                    F.round(F.col("n_tokens").cast("double")
+                            / (F.col("n_seqs").cast("double")
+                               * float(_PACK_SEQ_LEN)), 6)
+                    .alias("fill_frac")))
+
+
+# Temperature exponent for domain sampling. 0.5 (i.e. sqrt) on purpose:
+# IEEE 754 requires sqrt to be CORRECTLY ROUNDED, so Spark and DuckDB
+# produce bit-identical values — a general pow(x, alpha) is not required
+# to be and may differ in the last ulp between the JVM and libm.
+_TEMP_ALPHA = 0.5
+
+
+@_register("temperature_sampling", f"""
+WITH d AS (
+  SELECT lang AS domain,
+         cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
+  FROM documents GROUP BY lang),
+s AS (
+  SELECT domain, n_tokens,
+         cast(floor(sqrt(cast(n_tokens AS double)) * 1000000.0)
+              AS bigint) AS scaled
+  FROM d),
+tot AS (SELECT cast(sum(n_tokens) AS bigint) AS t,
+               cast(sum(scaled) AS bigint) AS ts
+        FROM s)
+SELECT domain, n_tokens,
+       round(cast(n_tokens AS double) / cast(t AS double), 6) AS p_raw,
+       round(cast(scaled AS double) / cast(ts AS double), 6) AS p_temp,
+       round((cast(scaled AS double) / cast(ts AS double))
+             / (cast(n_tokens AS double) / cast(t AS double)), 6)
+         AS boost
+FROM s CROSS JOIN tot
+""")
+def temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain sampling — the OTHER standard mixture
+    recipe (multilingual mBERT/XLM-R style): instead of hand-set
+    weights (domain_mixture), sampling probabilities are the observed
+    per-domain token mass raised to alpha={_TEMP_ALPHA} and
+    renormalized, which up-weights small domains (boost > 1) and
+    down-weights the head. Emits per domain the raw and tempered
+    probabilities plus the boost factor a sampler applies.
+
+    Numeric parity design: alpha is 0.5 so the temper step is sqrt
+    (correctly rounded per IEEE 754 on both engines, unlike pow), and
+    the tempered masses are summed as FIXED-POINT bigints
+    (floor(sqrt(tokens) * 1e6)) so the reduction order of the sum
+    cannot change a bit — the same exact-integer trick as the k-means
+    oracle. Scale shape: one map-side-combinable aggregate to
+    #domains rows, one 1-row total, broadcast back — the corpus
+    crosses zero shuffles beyond the domain rollup."""
+    docs = _read(spark, sf_dir, "documents")
+    d = (docs.groupBy(F.col("lang").alias("domain"))
+         .agg(F.sum(F.size(F.split("text", " ")).cast("long"))
+              .alias("n_tokens")))
+    s = d.withColumn(
+        "scaled",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0)
+        .cast("long"))
+    tot = s.agg(F.sum("n_tokens").alias("t"), F.sum("scaled").alias("ts"))
+    p_raw = F.col("n_tokens").cast("double") / F.col("t").cast("double")
+    p_temp = F.col("scaled").cast("double") / F.col("ts").cast("double")
+    return (s.crossJoin(F.broadcast(tot))
+            .select("domain", "n_tokens",
+                    F.round(p_raw, 6).alias("p_raw"),
+                    F.round(p_temp, 6).alias("p_temp"),
+                    F.round(p_temp / p_raw, 6).alias("boost")))
+
+
 _FUNNEL_STAGES = ("all", "non_empty", "lang_en", "gopher_quality",
                   "exact_dedup", "decontaminated", "pii_clean")
 

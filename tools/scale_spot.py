@@ -34,7 +34,8 @@ DOC_QUERIES = ("decontaminate_span_removal", "training_order",
                "bpe_merge_candidates", "dedup_substring_repair",
                "dsir_importance_weights", "eval_leakage_report",
                "quality_classifier", "bpe_learn_merges",
-               "bpe_encode_stats", "top_ngrams")
+               "bpe_encode_stats", "top_ngrams",
+               "packing_efficiency", "temperature_sampling")
 
 
 def build_scaled_embeddings(spark, out: str, reps: int) -> int:
