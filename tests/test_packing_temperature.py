@@ -35,8 +35,12 @@ def test_packing_report_matches_manifest_recomputation(spark):
         assert r.n_tokens == tokens
         assert r.tail_fill == tokens - (r.n_seqs - 1) * _PACK_SEQ_LEN
         assert 1 <= r.tail_fill <= _PACK_SEQ_LEN
-        assert r.fill_frac == round(
-            tokens / (r.n_seqs * float(_PACK_SEQ_LEN)), 6)
+        # tolerance, NOT == round(...): Spark/DuckDB round HALF_UP,
+        # Python rounds half-even — exact dyadic ties (power-of-two
+        # n_seqs) would diverge; exact rounding parity is the oracle
+        # gate's job
+        assert r.fill_frac == pytest.approx(
+            tokens / (r.n_seqs * float(_PACK_SEQ_LEN)), abs=5.1e-7)
 
 
 def test_packing_wastes_only_the_tail(spark):
@@ -59,10 +63,12 @@ def test_temperature_sampling_math_and_invariants(spark):
     t = sum(r.n_tokens for r in rows)
     ts = sum(math.floor(math.sqrt(r.n_tokens) * 1e6) for r in rows)
     for r in rows:
-        assert r.p_raw == round(r.n_tokens / t, 6)
+        # tolerance, not Python round(): see fill_frac note above
+        assert r.p_raw == pytest.approx(r.n_tokens / t, abs=5.1e-7)
         scaled = math.floor(math.sqrt(r.n_tokens) * 1e6)
-        assert r.p_temp == round(scaled / ts, 6)
-        assert r.boost == round((scaled / ts) / (r.n_tokens / t), 6)
+        assert r.p_temp == pytest.approx(scaled / ts, abs=5.1e-7)
+        assert r.boost == pytest.approx(
+            (scaled / ts) / (r.n_tokens / t), abs=5.1e-7)
     # distributions sum to ~1 (rounding of 5 terms)
     assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-5
     assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-5
