@@ -74,6 +74,7 @@ HEADLINE = [
     "similarity_ann_lsh",     # multi-table sign-LSH + Hamming-1 probes
     "similarity_ivf",         # pivot-cell inverted file, nprobe=2
     "similarity_pq",          # product-quantization ADC scoring
+    "event_attribution_asof",  # backward as-of join (union+carry)
     "stable_ordering",        # window ordering
     "corpus_rollup",          # grouping sets
 ]
