@@ -75,6 +75,7 @@ HEADLINE = [
     "similarity_ivf",         # pivot-cell inverted file, nprobe=2
     "similarity_pq",          # product-quantization ADC scoring
     "event_attribution_asof",  # backward as-of join (union+carry)
+    "range_join_error_proximity",  # keyless band join via buckets
     "stable_ordering",        # window ordering
     "corpus_rollup",          # grouping sets
 ]

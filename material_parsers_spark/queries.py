@@ -1048,6 +1048,74 @@ def event_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_us") - F.col("ts_us_matched")).alias("gap_us"))
 
 
+_RANGE_W_US = 300 * 1_000_000          # ±5-minute proximity window
+
+
+def range_join_bucketed(left: DataFrame, right: DataFrame,
+                        left_ts: str, right_ts: str,
+                        width_us: int) -> DataFrame:
+    """Bucketed RANGE JOIN — the other classic operator Spark lacks
+    natively (interval/band join): all (left, right) pairs with
+    |left_ts - right_ts| <= width_us, WITHOUT an equality key. The
+    naive expression is a theta-join (a cross product the optimizer
+    cannot hash) — quadratic and undistributable. The scale shape:
+    quantize time into width-sized buckets (exact int64 `div`, never a
+    float floor), expand each RIGHT row into the <=3 buckets any
+    qualifying left row can occupy, hash-join on the bucket, then apply
+    the exact band filter. Right rows amplify 3x; pair cardinality is
+    bounded by true matches + same-bucket near-misses, never N*M.
+
+    At 100 TB the residual risk is a HOT BUCKET (an incident burst
+    inside one window) — the join stays correct and AQE skew-split
+    handles the imbalance; callers needing hard bounds cap per-bucket
+    right rows the way the LSH buckets do."""
+    lb = left.withColumn(
+        "_b", F.expr(f"{left_ts} div {width_us}"))
+    rb = right.withColumn(
+        "_b", F.explode(F.sequence(
+            F.expr(f"({right_ts} - {width_us}) div {width_us}"),
+            F.expr(f"({right_ts} + {width_us}) div {width_us}"))))
+    return (lb.join(rb, "_b")
+            .where(F.abs(F.col(left_ts) - F.col(right_ts)) <= width_us)
+            .drop("_b"))
+
+
+@_register("range_join_error_proximity", f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+err AS (SELECT event_id AS err_id, epoch_us(ts) AS err_us
+        FROM events WHERE event_type = 'error')
+SELECT e.event_id,
+       cast(count(err.err_id) AS bigint) AS n_nearby_errors
+FROM e LEFT JOIN err
+  ON abs(e.us - err.err_us) <= {_RANGE_W_US}
+ AND err.err_id <> e.event_id
+GROUP BY e.event_id
+""")
+def range_join_error_proximity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incident correlation via range_join_bucketed: for EVERY event,
+    how many error events (from any user — no equality key, the hard
+    case) happened within ±5 minutes, excluding itself. The ops-style
+    query behind blast-radius and burst analysis. Every event keeps a
+    row (LEFT semantics; counts 0 when no error is near). The DuckDB
+    oracle is the plain band theta-join — independent of the bucketing
+    — so the bucket expansion provably loses and invents no pairs."""
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("event_id", us.alias("us"))
+    err = (ev.where(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("err_id"),
+                   us.alias("err_us")))
+    pairs = (range_join_bucketed(e, err, "us", "err_us", _RANGE_W_US)
+             .where(F.col("err_id") != F.col("event_id")))
+    counts = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_nearby_errors"))
+    return (e.select("event_id").join(counts, "event_id", "left")
+            .select("event_id",
+                    F.coalesce("n_nearby_errors", F.lit(0))
+                    .cast("long").alias("n_nearby_errors")))
+
+
 @_register("error_context_windows", """
 SELECT user_id, event_id,
        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
