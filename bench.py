@@ -76,6 +76,7 @@ HEADLINE = [
     "similarity_pq",          # product-quantization ADC scoring
     "event_attribution_asof",  # backward as-of join (union+carry)
     "range_join_error_proximity",  # keyless band join via buckets
+    "hypertable_rollup",      # time-bucket continuous-aggregate levels
     "stable_ordering",        # window ordering
     "corpus_rollup",          # grouping sets
 ]

@@ -1150,6 +1150,45 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("hypertable_rollup", """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+         epoch_us(ts) // 3600000000 AS hour_bucket,
+         event_type,
+         cast(round(value * 100.0) AS bigint) AS cents
+  FROM events)
+SELECT day_bucket, hour_bucket, event_type,
+       cast(count(*) AS bigint) AS n_events,
+       cast(sum(cents) AS bigint) AS total_value_cents
+FROM e GROUP BY ROLLUP (day_bucket, hour_bucket, event_type)
+""")
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERTABLE ROLLUP — the TimescaleDB-style continuous-aggregate
+    hierarchy over the event stream: exact integer time buckets (day >
+    hour, epoch-microsecond `div` — no timezone-dependent date_trunc)
+    crossed with event_type under GROUP BY ROLLUP, so one pass emits
+    the (day, hour, type) leaves plus every coarser materialization
+    level up to the grand total. Values aggregate as CENTS (bigint):
+    a double sum is reduction-order-dependent and can differ in the
+    last ulp between engines; integer sums cannot.
+
+    Scale shape: pure map-side bucket projection + ONE grouping-sets
+    hash aggregate (map-side combinable; rollup amplifies keys ~4x,
+    bounded by the grouping-level count, never by row count) — exactly
+    how a continuous aggregate refreshes a partition at 100 TB."""
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = (ev.select(us.alias("us"), "event_type", "value")
+         .select(F.expr("us div 86400000000").alias("day_bucket"),
+                 F.expr("us div 3600000000").alias("hour_bucket"),
+                 "event_type",
+                 F.round(F.col("value") * 100.0, 0).cast("long")
+                 .alias("cents")))
+    return (e.rollup("day_bucket", "hour_bucket", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("cents").alias("total_value_cents")))
+
+
 @_register("link_metrics", """
 WITH predicted AS (
   SELECT o_orderkey AS a, o_custkey AS b FROM orders WHERE o_orderkey % 2 = 0),
