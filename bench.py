@@ -77,6 +77,7 @@ HEADLINE = [
     "event_attribution_asof",  # backward as-of join (union+carry)
     "range_join_error_proximity",  # keyless band join via buckets
     "hypertable_rollup",      # time-bucket continuous-aggregate levels
+    "cms_word_counts",        # reproducible count-min sketch + probes
     "stable_ordering",        # window ordering
     "corpus_rollup",          # grouping sets
 ]

@@ -1150,6 +1150,80 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4          # hash rows (depth)
+_CMS_W = 1024       # counters per row (width)
+_CMS_TOP = 32
+
+
+@_register("cms_word_counts", f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT w, cast(count(*) AS bigint) AS true_count
+       FROM words WHERE w <> '' GROUP BY w),
+sketch AS (
+  SELECT s, {_H_SQL.format(expr="cast(s AS varchar) || ':' || w")}
+           % {_CMS_W} AS bucket,
+         cast(count(*) AS bigint) AS c
+  FROM words CROSS JOIN generate_series(0, {_CMS_D - 1}) t(s)
+  WHERE w <> ''
+  GROUP BY 1, 2),
+top AS (SELECT w, true_count FROM wf
+        ORDER BY true_count DESC, w LIMIT {_CMS_TOP})
+SELECT top.w AS word, top.true_count,
+       min(sketch.c) AS cms_estimate
+FROM top
+CROSS JOIN generate_series(0, {_CMS_D - 1}) t(s)
+JOIN sketch
+  ON sketch.s = t.s
+ AND sketch.bucket = {_H_SQL.format(
+     expr="cast(t.s AS varchar) || ':' || top.w")} % {_CMS_W}
+GROUP BY 1, 2
+""")
+def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) as a
+    deterministic distributed operator: a {_CMS_D}x{_CMS_W} counter
+    matrix built from the shared md5 hash family, then point queries
+    (min over the {_CMS_D} counters a word hashes to) for the
+    {_CMS_TOP} true heavy hitters, reported next to their exact
+    counts. Unlike Spark's built-in approx sketches (HLL/CMS with
+    engine-private hashing), every counter here is REPRODUCIBLE on any
+    engine — which is what makes the sketch itself oracle-checkable,
+    and what a pipeline needs when sketches are persisted and merged
+    across systems. CMS guarantees estimate >= true count
+    (over-estimation only, from bucket collisions); the test pins the
+    inequality and exact-match rate.
+
+    Scale shape (100 TB verdict): the sketch build is ONE
+    map-side-combinable aggregate whose state is BOUNDED at d*w =
+    {_CMS_D * _CMS_W} counters regardless of corpus size or vocabulary
+    — the entire point of sketching: mergeable constant-size partials
+    (each executor combines locally, the exchange carries d*w rows per
+    partition at most). The heavy-hitter probe joins the tiny sketch
+    (broadcast)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .where(F.col("w") != ""))
+    wf = words.groupBy("w").agg(F.count("*").alias("true_count"))
+    top = (wf.orderBy(F.desc("true_count"), "w").limit(_CMS_TOP)
+           .withColumnRenamed("w", "word"))
+    seeded = words.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("s"),
+        "w")
+    bucket = _h(F.concat(F.col("s").cast("string"), F.lit(":"),
+                         F.col("w"))) % _CMS_W
+    sketch = (seeded.select("s", bucket.alias("bucket"))
+              .groupBy("s", "bucket").agg(F.count("*").alias("c")))
+    probes = top.select(
+        "word", "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("s"))
+    probe_bucket = _h(F.concat(F.col("s").cast("string"), F.lit(":"),
+                               F.col("word"))) % _CMS_W
+    return (probes.withColumn("bucket", probe_bucket)
+            .join(F.broadcast(sketch), ["s", "bucket"])
+            .groupBy("word", "true_count")
+            .agg(F.min("c").alias("cms_estimate")))
+
+
 @_register("hypertable_rollup", """
 WITH e AS (
   SELECT epoch_us(ts) // 86400000000 AS day_bucket,
