@@ -1069,15 +1069,19 @@ def range_join_bucketed(left: DataFrame, right: DataFrame,
     inside one window) — the join stays correct and AQE skew-split
     handles the imbalance; callers needing hard bounds cap per-bucket
     right rows the way the LSH buckets do."""
-    lb = left.withColumn(
-        "_b", F.expr(f"{left_ts} div {width_us}"))
+    b = "_rjb_bucket"
+    taken = set(left.columns) | set(right.columns)
+    assert b not in taken, f"inputs must not carry a {b} column"
+    for name in (left_ts, right_ts):
+        assert "`" not in name, "backtick in a timestamp column name"
+    lb = left.withColumn(b, F.expr(f"`{left_ts}` div {width_us}"))
     rb = right.withColumn(
-        "_b", F.explode(F.sequence(
-            F.expr(f"({right_ts} - {width_us}) div {width_us}"),
-            F.expr(f"({right_ts} + {width_us}) div {width_us}"))))
-    return (lb.join(rb, "_b")
+        b, F.explode(F.sequence(
+            F.expr(f"(`{right_ts}` - {width_us}) div {width_us}"),
+            F.expr(f"(`{right_ts}` + {width_us}) div {width_us}"))))
+    return (lb.join(rb, b)
             .where(F.abs(F.col(left_ts) - F.col(right_ts)) <= width_us)
-            .drop("_b"))
+            .drop(b))
 
 
 @_register("range_join_error_proximity", f"""
@@ -1181,11 +1185,11 @@ GROUP BY 1, 2
 """)
 def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) as a
-    deterministic distributed operator: a {_CMS_D}x{_CMS_W} counter
-    matrix built from the shared md5 hash family, then point queries
-    (min over the {_CMS_D} counters a word hashes to) for the
-    {_CMS_TOP} true heavy hitters, reported next to their exact
-    counts. Unlike Spark's built-in approx sketches (HLL/CMS with
+    deterministic distributed operator: a 4x1024 counter matrix
+    (_CMS_D x _CMS_W) built from the shared md5 hash family, then
+    point queries (min over the 4 counters a word hashes to) for the
+    32 true heavy hitters, reported next to their exact counts.
+    Unlike Spark's built-in approx sketches (HLL/CMS with
     engine-private hashing), every counter here is REPRODUCIBLE on any
     engine — which is what makes the sketch itself oracle-checkable,
     and what a pipeline needs when sketches are persisted and merged
@@ -1194,10 +1198,10 @@ def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality and exact-match rate.
 
     Scale shape (100 TB verdict): the sketch build is ONE
-    map-side-combinable aggregate whose state is BOUNDED at d*w =
-    {_CMS_D * _CMS_W} counters regardless of corpus size or vocabulary
-    — the entire point of sketching: mergeable constant-size partials
-    (each executor combines locally, the exchange carries d*w rows per
+    map-side-combinable aggregate whose state is BOUNDED at d*w = 4096
+    counters regardless of corpus size or vocabulary — the entire
+    point of sketching: mergeable constant-size partials (each
+    executor combines locally, the exchange carries d*w rows per
     partition at most). The heavy-hitter probe joins the tiny sketch
     (broadcast)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1206,22 +1210,32 @@ def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = words.groupBy("w").agg(F.count("*").alias("true_count"))
     top = (wf.orderBy(F.desc("true_count"), "w").limit(_CMS_TOP)
            .withColumnRenamed("w", "word"))
-    seeded = words.select(
-        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("s"),
-        "w")
-    bucket = _h(F.concat(F.col("s").cast("string"), F.lit(":"),
-                         F.col("w"))) % _CMS_W
-    sketch = (seeded.select("s", bucket.alias("bucket"))
-              .groupBy("s", "bucket").agg(F.count("*").alias("c")))
+    sketch = cms_sketch(words)
     probes = top.select(
         "word", "true_count",
         F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("s"))
-    probe_bucket = _h(F.concat(F.col("s").cast("string"), F.lit(":"),
-                               F.col("word"))) % _CMS_W
-    return (probes.withColumn("bucket", probe_bucket)
+    return (probes.withColumn("bucket", _cms_bucket(F.col("word")))
             .join(F.broadcast(sketch), ["s", "bucket"])
             .groupBy("word", "true_count")
             .agg(F.min("c").alias("cms_estimate")))
+
+
+def _cms_bucket(word_col):
+    """The ONE definition of the seeded CMS bucket (requires an `s`
+    seed column in scope): sketch build and probe must agree
+    byte-for-byte, and both mirror the registered DuckDB SQL."""
+    return _h(F.concat(F.col("s").cast("string"), F.lit(":"),
+                       word_col)) % _CMS_W
+
+
+def cms_sketch(words: DataFrame) -> DataFrame:
+    """Build the d x w counter matrix over a words frame (column `w`):
+    (s, bucket, c) rows, at most d*w of them whatever the corpus."""
+    seeded = words.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("s"),
+        "w")
+    return (seeded.select("s", _cms_bucket(F.col("w")).alias("bucket"))
+            .groupBy("s", "bucket").agg(F.count("*").alias("c")))
 
 
 @_register("hypertable_rollup", """
@@ -1232,6 +1246,8 @@ WITH e AS (
          cast(round(value * 100.0) AS bigint) AS cents
   FROM events)
 SELECT day_bucket, hour_bucket, event_type,
+       cast(GROUPING(day_bucket, hour_bucket, event_type) AS bigint)
+         AS grouping_level,
        cast(count(*) AS bigint) AS n_events,
        cast(sum(cents) AS bigint) AS total_value_cents
 FROM e GROUP BY ROLLUP (day_bucket, hour_bucket, event_type)
@@ -1242,7 +1258,11 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour, epoch-microsecond `div` — no timezone-dependent date_trunc)
     crossed with event_type under GROUP BY ROLLUP, so one pass emits
     the (day, hour, type) leaves plus every coarser materialization
-    level up to the grand total. Values aggregate as CENTS (bigint):
+    level up to the grand total. grouping_level (grouping_id — same
+    first-arg-is-MSB bit convention on both engines) disambiguates a
+    genuinely-NULL grouping value from a subtotal row, so consumers
+    never classify levels by NULL-ness. Values aggregate as CENTS
+    (bigint):
     a double sum is reduction-order-dependent and can differ in the
     last ulp between engines; integer sums cannot.
 
@@ -1259,8 +1279,11 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.col("value") * 100.0, 0).cast("long")
                  .alias("cents")))
     return (e.rollup("day_bucket", "hour_bucket", "event_type")
-            .agg(F.count("*").alias("n_events"),
-                 F.sum("cents").alias("total_value_cents")))
+            .agg(F.grouping_id().cast("long").alias("grouping_level"),
+                 F.count("*").alias("n_events"),
+                 F.sum("cents").alias("total_value_cents"))
+            .select("day_bucket", "hour_bucket", "event_type",
+                    "grouping_level", "n_events", "total_value_cents"))
 
 
 @_register("link_metrics", """

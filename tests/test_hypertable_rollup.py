@@ -22,10 +22,11 @@ def rows(spark):
 
 
 def _level(rows, d, h, t):
-    return [r for r in rows
-            if (r.day_bucket is not None) == d
-            and (r.hour_bucket is not None) == h
-            and (r.event_type is not None) == t]
+    """Select a rollup level by its grouping_id bitmask (1 bit = the
+    column was aggregated OUT), never by NULL-ness — a NULL grouping
+    value must not be mistaken for a subtotal row."""
+    gid = (0 if d else 4) | (0 if h else 2) | (0 if t else 1)
+    return [r for r in rows if r.grouping_level == gid]
 
 
 def test_rollup_levels_are_consistent(rows):
@@ -66,3 +67,14 @@ def test_grand_total_matches_raw_table(spark, rows):
 def test_hour_buckets_nest_inside_day_buckets(rows):
     for r in _level(rows, True, True, True):
         assert r.hour_bucket // 24 == r.day_bucket
+
+
+def test_rollup_emits_only_hierarchy_levels(rows):
+    """ROLLUP (not CUBE): exactly the 4 prefix levels exist, and the
+    grouping bitmask always matches the columns' NULL pattern on this
+    NULL-free corpus."""
+    assert {r.grouping_level for r in rows} == {0, 1, 3, 7}
+    for r in rows:
+        assert (r.event_type is None) == bool(r.grouping_level & 1)
+        assert (r.hour_bucket is None) == bool(r.grouping_level & 2)
+        assert (r.day_bucket is None) == bool(r.grouping_level & 4)
