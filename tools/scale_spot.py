@@ -35,7 +35,35 @@ DOC_QUERIES = ("decontaminate_span_removal", "training_order",
                "dsir_importance_weights", "eval_leakage_report",
                "quality_classifier", "bpe_learn_merges",
                "bpe_encode_stats", "top_ngrams",
-               "packing_efficiency", "temperature_sampling")
+               "packing_efficiency", "temperature_sampling",
+               "cms_word_counts")
+
+# events-table operators: replicas get disjoint users, ids and YEARLY
+# time offsets so join/rollup output grows LINEARLY with input (same-
+# range replication would densify the band and grow pairs quadratically
+# — a corpus artifact, not an operator property)
+EVENT_QUERIES = ("event_attribution_asof", "range_join_error_proximity",
+                 "hypertable_rollup", "sessionize_events")
+
+
+def build_scaled_events(spark, out: str, reps: int) -> int:
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    n = ev.count()
+    r = spark.range(reps).select(F.col("id").alias("rep"))
+    year_us = 365 * 86400 * 1_000_000
+    (ev.crossJoin(r)
+     .select((F.col("event_id") + F.col("rep") * 100_000_000)
+             .alias("event_id"),
+             F.timestamp_micros(
+                 F.unix_micros(F.col("ts").cast("timestamp"))
+                 + F.col("rep") * year_us).alias("ts"),
+             (F.col("user_id") + F.col("rep") * 1_000_000)
+             .alias("user_id"),
+             "event_type", "value", "props")
+     .repartition(64)
+     .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+    return n * reps
 
 
 def build_scaled_embeddings(spark, out: str, reps: int) -> int:
@@ -87,6 +115,20 @@ def main() -> None:
                 results.setdefault(name, {})[label] = {
                     "units": n_docs, "sec": round(wall, 3),
                     "us_per_unit": round(wall / n_docs * 1e6, 3)}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev_levels = (("lo", 2), ("hi", 10)) if quick else (("lo", 10),
+                                                           ("hi", 100))
+        for label, reps in ev_levels:
+            out = f"{tmp}/events_{label}"
+            n_events = build_scaled_events(spark, out, reps)
+            for name in EVENT_QUERIES:
+                start = time.time()
+                materialize(q.SPARK_QUERIES[name](spark, out))
+                wall = time.time() - start
+                results.setdefault(name, {})[label] = {
+                    "units": n_events, "sec": round(wall, 3),
+                    "us_per_unit": round(wall / n_events * 1e6, 3)}
 
     with tempfile.TemporaryDirectory() as tmp:
         emb_levels = (("lo", 2), ("hi", 10)) if quick else (("lo", 10),
