@@ -63,6 +63,7 @@ HEADLINE = [
     "tool_retry_runs",        # same-tool run (loop) detection
     "tool_output_stats",      # JSON tool-output mining per table
     "turn_latency_stats",     # per-role inter-turn latency
+    "adjacent_turn_similarity",  # lexical-cohesion topic boundaries
     "quality_gopher_rules",   # repetition/quality gate (JVM-only)
     "quality_lm_score",       # CCNet-style bigram-LM perplexity
     "perplexity_buckets",     # CCNet head/middle/tail binning

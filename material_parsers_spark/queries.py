@@ -571,6 +571,51 @@ def sft_example_manifest(turns: DataFrame,
                     "n_target_chars"))
 
 
+@_register("adjacent_turn_similarity")
+def adjacent_turn_similarity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TOPIC-SHIFT detection over transcripts (TextTiling-style, the
+    lexical-cohesion signal segmenters and context-compaction policies
+    key on): for every turn with a predecessor, the word-set Jaccard
+    similarity to the previous turn, plus a boundary flag where
+    cohesion collapses. The flag is the INTEGER comparison
+    10 * |shared| < |union| (jaccard < 0.1) — never a float-vs-float
+    threshold, so both engines flag identical rows; the reported
+    jaccard itself is round-6 of identically-composed division.
+    Turns whose union is empty (both sides wordless) report NULL
+    similarity and no boundary.
+
+    Scale shape: one lag window under the standard per-conversation
+    ordering partitioning; set algebra (array_distinct / intersect /
+    union) is per-row column work bounded by turn length. Computed
+    DuckDB oracle from the drift-gated conversation_turns golden."""
+    return adjacent_turn_similarity_frame(
+        conversation_turns(spark, sf_dir))
+
+
+def adjacent_turn_similarity_frame(turns: DataFrame) -> DataFrame:
+    """Core of adjacent_turn_similarity over any (conv_id, turn_idx,
+    text) frame (see the query for semantics and scale shape)."""
+    words = F.array_distinct(
+        F.filter(F.split("text", " "), lambda w: w != ""))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = turns.select("conv_id", "turn_idx", words.alias("words"))
+    p = (t.withColumn("prev", F.lag("words").over(w))
+         .where(F.col("prev").isNotNull()))
+    n_shared = F.size(F.array_intersect("words", "prev")).cast("long")
+    n_union = F.size(F.array_union("words", "prev")).cast("long")
+    return (p.select("conv_id", "turn_idx",
+                     n_shared.alias("n_shared"),
+                     n_union.alias("n_union"))
+            .select("conv_id", "turn_idx", "n_shared", "n_union",
+                    F.when(F.col("n_union") > 0,
+                           F.round(F.col("n_shared").cast("double")
+                                   / F.col("n_union").cast("double"),
+                                   6)).alias("jaccard"),
+                    (F.col("n_shared") * 10 < F.col("n_union"))
+                    .alias("is_boundary")))
+
+
 @_register("tool_output_stats")
 def tool_output_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured mining of tool RESULTS: turns carrying a
@@ -5577,6 +5622,30 @@ SELECT role, cast(count(*) AS bigint) AS n_gaps,
        min(gap_us) AS min_us, max(gap_us) AS max_us
 FROM gaps WHERE gap_us IS NOT NULL GROUP BY role
 """, "conversation_turn_meta"),
+    "adjacent_turn_similarity": ("""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(list_filter(string_split(text, ' '),
+                                   w -> w <> '')) AS words
+  FROM read_parquet('{path}')),
+p AS (
+  SELECT conv_id, turn_idx, words,
+         lag(words) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev
+  FROM t),
+m AS (
+  SELECT conv_id, turn_idx,
+         cast(len(list_intersect(words, prev)) AS bigint) AS n_shared,
+         cast(len(list_distinct(list_concat(words, prev))) AS bigint)
+           AS n_union
+  FROM p WHERE prev IS NOT NULL)
+SELECT conv_id, turn_idx, n_shared, n_union,
+       CASE WHEN n_union > 0
+            THEN round(cast(n_shared AS double)
+                       / cast(n_union AS double), 6) END AS jaccard,
+       n_shared * 10 < n_union AS is_boundary
+FROM m
+""", "conversation_turns"),
     "tool_output_stats": ("""
 WITH p AS (
   -- NULL the payload when it is not valid JSON: DuckDB's extractor

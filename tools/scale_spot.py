@@ -154,7 +154,8 @@ def main() -> None:
                      "conversation_substring_repair",
                      "tool_transitions",
                      "sft_examples",
-                     "tool_output_stats"):
+                     "tool_output_stats",
+                     "adjacent_turn_similarity"):
             start = time.time()
             materialize(q.SPARK_QUERIES[name](
                 spark, "/root/testdata/sf0.1"))
