@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_components",  # representative-edge connected components
     "dedup_containment",      # MOSS-style winnowing containment pairs
     "decontaminate_ngrams",   # 13-gram eval-set contamination flags
+    "bloom_decon_prefilter",  # 8KB bloom pushdown before exact join
     "decontaminate_span_removal",  # span-level contamination repair
     "eval_leakage_report",    # per-eval-doc burn-rate transpose
     "dedup_substring_repair",  # cross-doc repeated-25-gram excision

@@ -2786,6 +2786,119 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(_read(spark, sf_dir, "documents"))
 
 
+_BLOOM_BITS = 65536      # m (2^16) — 1041 x 63-bit words when packed
+_BLOOM_K = 4             # hash functions
+
+
+@_register("bloom_decon_prefilter", f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+grams AS (
+  SELECT doc_id, {_EVAL_H_SQL} % 20 = 0 AS is_eval,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 12, 0)),
+             i -> {{NGRAM13}})) AS gs
+  FROM words WHERE len(w) >= 13),
+eval_grams AS (
+  SELECT DISTINCT gram
+  FROM (SELECT unnest(gs) AS gram FROM grams WHERE is_eval)),
+bits AS (
+  SELECT DISTINCT {_H_SQL.format(
+      expr="cast(s AS varchar) || ':' || gram")} % {_BLOOM_BITS} AS p
+  FROM eval_grams CROSS JOIN generate_series(0, {_BLOOM_K - 1}) t(s)),
+cg AS (
+  SELECT doc_id, unnest(gs) AS gram FROM grams WHERE NOT is_eval),
+pos AS (
+  SELECT doc_id, gram,
+         {_H_SQL.format(
+             expr="cast(s AS varchar) || ':' || gram")} % {_BLOOM_BITS}
+           AS p
+  FROM cg CROSS JOIN generate_series(0, {_BLOOM_K - 1}) t(s)),
+bloom_hits AS (
+  SELECT doc_id, gram
+  FROM pos LEFT JOIN bits USING (p)
+  GROUP BY doc_id, gram HAVING count(bits.p) = {_BLOOM_K}),
+per_doc AS (
+  SELECT cg.doc_id,
+         cast(count(*) AS bigint) AS n_grams,
+         cast(count(bh.gram) AS bigint) AS n_bloom_hits,
+         cast(count(eg.gram) AS bigint) AS n_true_hits
+  FROM cg
+  LEFT JOIN bloom_hits bh USING (doc_id, gram)
+  LEFT JOIN eval_grams eg ON eg.gram = cg.gram
+  GROUP BY cg.doc_id)
+SELECT * FROM per_doc
+""".replace("{NGRAM13}", _NGRAM13_CONCAT))
+def bloom_decon_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER decontamination PREFILTER — the classic sketch
+    pushdown: the eval set's 13-grams are folded into a 65,536-bit
+    Bloom filter (4 md5-family hashes, deterministic — reproducible on
+    any engine, like the count-min sketch) which the CORPUS tests as a
+    pure MAP-SIDE literal-array bit probe: the corpus crosses ZERO
+    shuffles and joins NOTHING to discover which grams can possibly be
+    contaminated. Only the bloom-surviving grams (no false negatives,
+    by construction) proceed to the exact broadcast join — the
+    production pattern when the eval index is too big to broadcast
+    raw but its Bloom digest is 8 KB. Emits per corpus doc the gram
+    count, bloom-hit count and true-hit count, so the false-positive
+    rate is a measured number (bloom >= true always).
+
+    Scale shape (100 TB verdict): filter build is bounded by eval
+    grams (driver collects <= m distinct bit positions once); the
+    packed 1041-word literal array constant-folds into the plan; the
+    exact join explodes ONLY bloom survivors. The DuckDB oracle tests
+    the same bit SET via join+count algebra instead of packed words —
+    independent representations, identical semantics."""
+    docs = _read(spark, sf_dir, "documents")
+    is_eval = _h(F.col("doc_id").cast("string")) % 20 == 0
+    ev_grams = (_ngrams_df(docs.where(is_eval), 13)
+                .select(F.explode("ngrams").alias("gram")).distinct())
+    pos_of = lambda s, g: _h(F.concat(F.lit(f"{s}:"), g)) % _BLOOM_BITS
+    positions = {
+        r.p
+        for s in range(_BLOOM_K)
+        for r in ev_grams.select(pos_of(s, F.col("gram")).alias("p"))
+        .distinct().collect()}
+    n_words = _BLOOM_BITS // 63 + 1
+    mask = [0] * n_words
+    for p in positions:
+        mask[p // 63] |= 1 << (p % 63)
+    # ONE expr string per array: 1041 F.lit calls would cost seconds
+    # of py4j round trips (round-2 lesson)
+    mask_col = F.expr(f"array({','.join(map(str, mask))})")
+    pow2_col = F.expr(
+        f"array({','.join(str(1 << b) for b in range(63))})")
+
+    def bloom_hit(g):
+        cond = None
+        for s in range(_BLOOM_K):
+            p = pos_of(s, g)
+            word = (F.floor(p / F.lit(63)) + 1).cast("int")
+            bit = (p % 63).cast("int") + 1
+            t = (F.element_at(mask_col, word)
+                 .bitwiseAND(F.element_at(pow2_col, bit)) != 0)
+            cond = t if cond is None else cond & t
+        return cond
+
+    corpus = (_ngrams_df(docs.where(~is_eval), 13)
+              .where(F.size("ngrams") > 0))
+    probed = corpus.select(
+        "doc_id",
+        F.size("ngrams").cast("long").alias("n_grams"),
+        F.filter("ngrams", bloom_hit).alias("survivors"))
+    true_hits = (probed.select(
+        "doc_id", F.explode("survivors").alias("gram"))
+        .join(F.broadcast(ev_grams), "gram")
+        .groupBy("doc_id").agg(F.count("*").alias("n_true_hits")))
+    return (probed.select(
+        "doc_id", "n_grams",
+        F.size("survivors").cast("long").alias("n_bloom_hits"))
+        .join(true_hits, "doc_id", "left")
+        .select("doc_id", "n_grams", "n_bloom_hits",
+                F.coalesce("n_true_hits", F.lit(0)).cast("long")
+                .alias("n_true_hits")))
+
+
 def eval_leakage(docs: DataFrame, n: int = 13,
                  eval_mod: int = 20) -> DataFrame:
     """EVAL-LEAKAGE REPORT — the transpose of `decontaminate`: instead

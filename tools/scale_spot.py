@@ -36,7 +36,8 @@ DOC_QUERIES = ("decontaminate_span_removal", "training_order",
                "quality_classifier", "bpe_learn_merges",
                "bpe_encode_stats", "top_ngrams",
                "packing_efficiency", "temperature_sampling",
-               "cms_word_counts", "token_length_quantiles")
+               "cms_word_counts", "token_length_quantiles",
+               "bloom_decon_prefilter")
 
 # events-table operators: replicas get disjoint users, ids and YEARLY
 # time offsets so join/rollup output grows LINEARLY with input (same-
