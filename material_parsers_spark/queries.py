@@ -1208,9 +1208,7 @@ _QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
 
 @_register("token_length_quantiles", f"""
 WITH n AS (
-  SELECT cast(len(string_split_regex(trim(text), '\\s+')) AS bigint)
-           AS v
-  FROM documents WHERE length(trim(text)) > 0),
+  SELECT n_tokens AS v FROM ({{TOKEN_STATS_SQL}}) ts),
 hist AS (
   SELECT v, cast(count(*) AS bigint) AS c FROM n GROUP BY v),
 cum AS (
@@ -1237,14 +1235,16 @@ def token_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical type-1 (discrete) quantile: the smallest value whose
     cumulative count reaches the threshold.
 
+    The length column IS token_stats' n_tokens, composed from the
+    registered operator on BOTH engines (the packing_efficiency
+    precedent) so the quantiles can never drift from the distribution
+    they claim to summarize.
+
     Scale shape (100 TB verdict): the corpus crosses ONE hash
     aggregate; the ordered window and the quantile probe run on the
     distinct-length histogram (thousands of rows at most for token
     counts), a deliberately single-partition frame."""
-    docs = _read(spark, sf_dir, "documents")
-    n = (docs.where(F.length(F.trim("text")) > 0)
-         .select(F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-                 .alias("v")))
+    n = token_stats(spark, sf_dir).select(F.col("n_tokens").alias("v"))
     hist = n.groupBy("v").agg(F.count("*").alias("c"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = (hist
@@ -1512,6 +1512,14 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("long").alias("n_chars_actual"),
         )
     )
+
+
+# token_length_quantiles composes token_stats' REGISTERED SQL — the
+# placeholder resolves here because token_stats registers later in the
+# file than the quantiles decorator ran
+ORACLE_SQL["token_length_quantiles"] = \
+    ORACLE_SQL["token_length_quantiles"].replace(
+        "{TOKEN_STATS_SQL}", ORACLE_SQL["token_stats"])
 
 
 @_register("quality_scores", """
@@ -2843,22 +2851,26 @@ def bloom_decon_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, bloom-hit count and true-hit count, so the false-positive
     rate is a measured number (bloom >= true always).
 
-    Scale shape (100 TB verdict): filter build is bounded by eval
-    grams (driver collects <= m distinct bit positions once); the
-    packed 1041-word literal array constant-folds into the plan; the
-    exact join explodes ONLY bloom survivors. The DuckDB oracle tests
-    the same bit SET via join+count algebra instead of packed words —
-    independent representations, identical semantics."""
+    Scale shape (100 TB verdict): the filter build is bounded by eval
+    grams — the eval gram set localCheckpoints and the driver collects
+    the distinct bit positions in ONE job; the packed 1041-word
+    literal array constant-folds into the plan, so the PROBE stage is
+    map-side with zero shuffles; the exact stage explodes ONLY bloom
+    survivors and pays one bounded aggregate exchange. The whole
+    result is ONE pass over the corpus — n_grams/n_bloom_hits ride the
+    survivor explode into the same aggregate, no self-join re-running
+    the probes. The DuckDB oracle tests the same bit SET via
+    join+count algebra instead of packed words — independent
+    representations, identical semantics."""
     docs = _read(spark, sf_dir, "documents")
     is_eval = _h(F.col("doc_id").cast("string")) % 20 == 0
     ev_grams = (_ngrams_df(docs.where(is_eval), 13)
-                .select(F.explode("ngrams").alias("gram")).distinct())
+                .select(F.explode("ngrams").alias("gram")).distinct()
+                .localCheckpoint())
     pos_of = lambda s, g: _h(F.concat(F.lit(f"{s}:"), g)) % _BLOOM_BITS
-    positions = {
-        r.p
-        for s in range(_BLOOM_K)
-        for r in ev_grams.select(pos_of(s, F.col("gram")).alias("p"))
-        .distinct().collect()}
+    positions = {r.p for r in ev_grams.select(F.explode(F.array(
+        *[pos_of(s, F.col("gram")) for s in range(_BLOOM_K)]))
+        .alias("p")).distinct().collect()}
     n_words = _BLOOM_BITS // 63 + 1
     mask = [0] * n_words
     for p in positions:
@@ -2873,7 +2885,10 @@ def bloom_decon_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = None
         for s in range(_BLOOM_K):
             p = pos_of(s, g)
-            word = (F.floor(p / F.lit(63)) + 1).cast("int")
+            # exact: the numerator is a multiple of 63 below 2^16, so
+            # the double division cannot round (suite convention:
+            # never a lossy float floor on an index)
+            word = ((p - p % 63) / F.lit(63)).cast("int") + 1
             bit = (p % 63).cast("int") + 1
             t = (F.element_at(mask_col, word)
                  .bitwiseAND(F.element_at(pow2_col, bit)) != 0)
@@ -2886,17 +2901,14 @@ def bloom_decon_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("ngrams").cast("long").alias("n_grams"),
         F.filter("ngrams", bloom_hit).alias("survivors"))
-    true_hits = (probed.select(
-        "doc_id", F.explode("survivors").alias("gram"))
-        .join(F.broadcast(ev_grams), "gram")
-        .groupBy("doc_id").agg(F.count("*").alias("n_true_hits")))
+    marked = ev_grams.select("gram", F.lit(1).alias("m"))
     return (probed.select(
         "doc_id", "n_grams",
-        F.size("survivors").cast("long").alias("n_bloom_hits"))
-        .join(true_hits, "doc_id", "left")
-        .select("doc_id", "n_grams", "n_bloom_hits",
-                F.coalesce("n_true_hits", F.lit(0)).cast("long")
-                .alias("n_true_hits")))
+        F.size("survivors").cast("long").alias("n_bloom_hits"),
+        F.explode_outer("survivors").alias("gram"))
+        .join(F.broadcast(marked), "gram", "left")
+        .groupBy("doc_id", "n_grams", "n_bloom_hits")
+        .agg(F.count("m").alias("n_true_hits")))
 
 
 def eval_leakage(docs: DataFrame, n: int = 13,

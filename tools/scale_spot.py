@@ -36,8 +36,13 @@ DOC_QUERIES = ("decontaminate_span_removal", "training_order",
                "quality_classifier", "bpe_learn_merges",
                "bpe_encode_stats", "top_ngrams",
                "packing_efficiency", "temperature_sampling",
-               "cms_word_counts", "token_length_quantiles",
-               "bloom_decon_prefilter")
+               "cms_word_counts", "token_length_quantiles")
+# bloom_decon_prefilter is deliberately NOT spot-scaled: the replicated
+# corpora have disjoint per-replica vocabularies, so the 100x level
+# carries ~1M distinct eval grams — the FIXED 65,536-bit filter
+# saturates (~100% FP) and the measurement would certify the degenerate
+# everything-survives path, not the prefilter. Its scale story is the
+# probe's zero-shuffle plan (plan-gated) + the driver-scale oracles.
 
 # events-table operators: replicas get disjoint users, ids and YEARLY
 # time offsets so join/rollup output grows LINEARLY with input (same-
