@@ -80,6 +80,7 @@ HEADLINE = [
     "range_join_error_proximity",  # keyless band join via buckets
     "hypertable_rollup",      # time-bucket continuous-aggregate levels
     "cms_word_counts",        # reproducible count-min sketch + probes
+    "hll_distinct_ngrams",    # deterministic HLL vs exact distinct
     "token_length_quantiles",  # exact quantiles via value histogram
     "stable_ordering",        # window ordering
     "corpus_rollup",          # grouping sets

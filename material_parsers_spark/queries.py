@@ -2794,6 +2794,114 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(_read(spark, sf_dir, "documents"))
 
 
+_HLL_P = 11                      # 2^11 = 2048 registers
+_HLL_M = 1 << _HLL_P
+_HLL_RHO_CAP = 40                # register cap keeps the sum exact int64
+# alpha_m * m^2 * 2^cap, folded to ONE double in Python so both engines
+# divide the identical numerator by the exact integer register sum
+_HLL_NUMERATOR = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M \
+    * float(1 << _HLL_RHO_CAP)
+
+
+@_register("hll_distinct_ngrams", f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+grams AS (
+  SELECT unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 12, 0)),
+             i -> {{NGRAM13}}))) AS gram
+  FROM words WHERE len(w) >= 13),
+hashed AS (
+  SELECT {_H_SQL.format(expr="'hllb:' || gram")} % {_HLL_M} AS bucket,
+         {_H_SQL.format(expr="'hllv:' || gram")} AS h2
+  FROM grams),
+regs AS (
+  SELECT bucket,
+         max(least(CASE WHEN h2 = 0 THEN 61
+                        ELSE 61 - length(bin(h2)) END,
+                   {_HLL_RHO_CAP})) AS m_j
+  FROM hashed GROUP BY bucket),
+s AS (
+  SELECT cast(count(*) AS bigint) AS n_filled,
+         cast(sum(cast(1 AS bigint) << ({_HLL_RHO_CAP} - m_j))
+              AS bigint) AS s_filled
+  FROM regs),
+truth AS (SELECT cast(count(DISTINCT gram) AS bigint) AS true_distinct
+          FROM grams)
+SELECT {_HLL_M} AS m, n_filled,
+       round(cast({_HLL_NUMERATOR!r} AS double)
+             / cast(s_filled + ({_HLL_M} - n_filled)
+                    * (cast(1 AS bigint) << {_HLL_RHO_CAP}) AS double),
+             6) AS estimate,
+       true_distinct,
+       round((cast({_HLL_NUMERATOR!r} AS double)
+              / cast(s_filled + ({_HLL_M} - n_filled)
+                     * (cast(1 AS bigint) << {_HLL_RHO_CAP}) AS double)
+              - cast(true_distinct AS double))
+             / cast(true_distinct AS double), 6) AS rel_error
+FROM s CROSS JOIN truth
+""".replace("{NGRAM13}", _NGRAM13_CONCAT))
+def hll_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERLOGLOG distinct counting (Flajolet et al. 2007) as a
+    deterministic distributed operator, next to the exact answer it
+    approximates: estimate the number of DISTINCT 13-grams in the
+    corpus from 2048 one-byte registers instead of a corpus-wide
+    distinct shuffle. Like the count-min sketch, the registers come
+    from the shared md5 family, so the sketch is reproducible and
+    oracle-checkable — unlike approx_count_distinct's engine-private
+    HLL++.
+
+    Numeric-parity design: rho (leading-zero rank of the 60-bit value
+    hash, via length(bin(h))) is CAPPED at 40 so every register term
+    2^(40 - M_j) is an exact int64 and the register SUM is exact
+    int64 (max 2048 * 2^40 < 2^52) — reduction order cannot change a
+    bit, where the textbook float sum of 2^-M_j spans more than 53
+    bits of exponent and can. The harmonic-mean numerator
+    (alpha_m * m^2 * 2^40) folds to ONE Python double literal, so the
+    whole estimate is a single identically-composed division on both
+    engines. No small-range linear-counting correction: that branch
+    needs ln(), which is not correctly-rounded-guaranteed across
+    engines — the raw estimator is accurate in the n >> m regime this
+    query targets (~30k distinct grams vs 2048 registers; measured
+    rel_error is part of the output).
+
+    Scale shape (100 TB verdict): ONE map-side-combinable aggregate
+    whose state is bounded at m = 2048 registers regardless of corpus
+    size — each executor merges registers locally (max is the merge),
+    the exchange carries at most m rows per partition; the exact
+    count_distinct beside it is the expensive comparison baseline the
+    sketch exists to replace."""
+    docs = _read(spark, sf_dir, "documents")
+    grams = (_ngrams_df(docs, 13)
+             .select(F.explode("ngrams").alias("gram")))
+    h2 = _h(F.concat(F.lit("hllv:"), F.col("gram")))
+    rho = F.when(h2 == 0, F.lit(61)) \
+        .otherwise(F.lit(61) - F.length(F.bin(h2)))
+    hashed = grams.select(
+        (_h(F.concat(F.lit("hllb:"), F.col("gram"))) % _HLL_M)
+        .alias("bucket"),
+        F.least(rho, F.lit(_HLL_RHO_CAP)).alias("rho"))
+    regs = hashed.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    s = regs.agg(
+        F.count("*").alias("n_filled"),
+        F.sum(F.expr(f"shiftleft(cast(1 AS bigint), "
+                     f"{_HLL_RHO_CAP} - m_j)")).alias("s_filled"))
+    truth = grams.agg(
+        F.countDistinct("gram").alias("true_distinct"))
+    s_total = (F.col("s_filled")
+               + (F.lit(_HLL_M) - F.col("n_filled"))
+               * F.lit(1 << _HLL_RHO_CAP)).cast("double")
+    est = F.lit(_HLL_NUMERATOR) / s_total
+    return (s.crossJoin(truth)
+            .select(F.lit(_HLL_M).alias("m"),
+                    "n_filled",
+                    F.round(est, 6).alias("estimate"),
+                    "true_distinct",
+                    F.round((est - F.col("true_distinct").cast("double"))
+                            / F.col("true_distinct").cast("double"), 6)
+                    .alias("rel_error")))
+
+
 _BLOOM_BITS = 65536      # m (2^16) — 1041 x 63-bit words when packed
 _BLOOM_K = 4             # hash functions
 
