@@ -1309,14 +1309,28 @@ def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of sketching: mergeable constant-size partials (each
     executor combines locally, the exchange carries d*w rows per
     partition at most). The heavy-hitter probe joins the tiny sketch
-    (broadcast)."""
+    (broadcast).
+
+    r6 optimization (guide §2.3 aggregate-before-you-hash): the
+    counters are a function of per-WORD totals, so the d seeded md5
+    probes now run once per DISTINCT word over the aggregated
+    (w, count) frame — summing counts into buckets gives bit-identical
+    counters to hashing every instance (26s -> ~2s at the driver's
+    sf1, where the corpus is ~3M word instances over a 31-word
+    vocabulary). The word-count pass itself runs once
+    (localCheckpoint, vocabulary-bounded) and feeds both the top-K
+    and the sketch."""
     docs = _read(spark, sf_dir, "documents")
-    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+    parallelism = spark.sparkContext.defaultParallelism
+    words = (docs.repartition(parallelism)
+             .select(F.explode(F.split("text", " ")).alias("w"))
              .where(F.col("w") != ""))
-    wf = words.groupBy("w").agg(F.count("*").alias("true_count"))
+    wf = (words.groupBy("w").agg(F.count("*").alias("true_count"))
+          .localCheckpoint())
     top = (wf.orderBy(F.desc("true_count"), "w").limit(_CMS_TOP)
            .withColumnRenamed("w", "word"))
-    sketch = cms_sketch(words)
+    sketch = cms_sketch_from_counts(
+        wf.withColumnRenamed("true_count", "c_w"))
     probes = top.select(
         "word", "true_count",
         F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("s"))
@@ -1337,11 +1351,22 @@ def _cms_bucket(word_col):
 def cms_sketch(words: DataFrame) -> DataFrame:
     """Build the d x w counter matrix over a words frame (column `w`):
     (s, bucket, c) rows, at most d*w of them whatever the corpus."""
-    seeded = words.select(
+    return cms_sketch_from_counts(
+        words.groupBy("w").agg(F.count("*").alias("c_w")))
+
+
+def cms_sketch_from_counts(word_counts: DataFrame) -> DataFrame:
+    """The same counter matrix built from an aggregated (w, c_w) frame:
+    hashing each DISTINCT word d times and summing its count into the
+    bucket is arithmetically identical to hashing every instance, and
+    at corpus scale it cuts the md5 probes from O(instances * d) to
+    O(vocabulary * d) (guide §2.3)."""
+    seeded = word_counts.select(
         F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("s"),
-        "w")
-    return (seeded.select("s", _cms_bucket(F.col("w")).alias("bucket"))
-            .groupBy("s", "bucket").agg(F.count("*").alias("c")))
+        "w", "c_w")
+    return (seeded.select("s", _cms_bucket(F.col("w")).alias("bucket"),
+                          "c_w")
+            .groupBy("s", "bucket").agg(F.sum("c_w").alias("c")))
 
 
 @_register("hypertable_rollup", """
@@ -1596,8 +1621,17 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     array algebra; the top-n-gram counts are explode -> (doc, gram)
     hash aggregate -> per-doc max — two map-side-combinable shuffles
     keyed on doc_id, no UDF. Comparisons use the ROUNDED fractions so
-    both engines make identical boundary decisions."""
-    docs = _read(spark, sf_dir, "documents")
+    both engines make identical boundary decisions.
+
+    r6 optimization: the bigram transform used element_at(words, i)
+    inside a lambda — the CollapseProject trap _ngrams_df documents:
+    the split gets inlined into the lambda and re-evaluated PER
+    ELEMENT, O(words^2) per document. Rewritten as the argument-bound
+    zip_with-over-slices shape (identical strings); the raw docs also
+    repartition first so a single-file scan cannot serialize the
+    stats/uni/bi subtrees."""
+    docs = _read(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     base = (
         docs.where(F.length(F.trim("text")) > 0)
         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("words"))
@@ -1617,17 +1651,13 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id").agg(F.max("count").cast("long").alias("top_uni"))
     )
     words = F.col("words")
-    # guard the 1-word case: sequence(0, -1) in Spark yields the
-    # DESCENDING array [0, -1] (auto step -1), so the transform would
-    # index element_at(words, 0) and throw — emit an empty bigram array
-    # instead, matching the oracle's empty generate_series(1, 0)
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                                  F.element_at(words, i + 2))),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with over shifted slices: argument-bound lambdas, and the
+    # greatest-0 guard makes the 1-word case an empty array, matching
+    # the oracle's empty generate_series(1, 0)
+    bi_cnt = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, bi_cnt), F.slice(words, 2, bi_cnt),
+        lambda a, b: F.concat_ws(" ", a, b))
     bi = (
         base.select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g").count()
@@ -2203,19 +2233,79 @@ def _ngrams_df(docs: DataFrame, n: int, distinct: bool = True) -> DataFrame:
     StringSplit.nullSafeEval inside ConcatWs.eval). zip_with over n
     shifted slices keeps every lambda argument-bound — the split is
     evaluated a constant number of times per ROW regardless of what
-    Catalyst collapses."""
+    Catalyst collapses.
+
+    r6 optimization (guide §1.2 per-task work): for n > 3 the linear
+    chain of n-1 zip_with steps (which copies O(n^2) chars per gram
+    through interpreted lambdas) is replaced by DOUBLING — build
+    2,4,8..-gram arrays and compose the n-gram from the binary
+    decomposition of n, O(log n) zip_with steps and O(n log n) chars.
+    Each doubling level is materialized behind a one-element explode
+    (a Generate barrier, the established CollapseProject fence — see
+    _rk_gram_occ) so the two slice references per level read a
+    materialized attribute instead of re-evaluating the whole lower
+    level twice. The produced gram strings are byte-identical
+    (string concatenation is associative), so every oracle and golden
+    downstream is unchanged."""
     words = F.col("words")
     # greatest-0 guard: Catalyst may evaluate the slice projection for
     # rows the >= n filter later drops (negative lengths throw)
     cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    acc = F.slice(words, 1, cnt)
-    for k in range(2, n + 1):
-        acc = F.zip_with(acc, F.slice(words, k, cnt),
+    base = (docs.select("doc_id", F.split("text", " ").alias("words"))
+            .where(F.size(words) >= n))
+    def _sealed(frame_, out_):
+        # final Generate barrier: the gram array is MATERIALIZED, so a
+        # consumer's explode-inferred size() > 0 filter (or any second
+        # reference) reads the attribute instead of letting pushdown
+        # clone the whole gram build below an upstream Exchange
+        return (frame_.select("doc_id", F.explode(F.array(F.struct(
+                    out_.alias("ngrams")))).alias("zf"))
+                .select("doc_id", F.col("zf.ngrams").alias("ngrams")))
+
+    if n <= 3:
+        acc = F.slice(words, 1, cnt)
+        for k in range(2, n + 1):
+            acc = F.zip_with(acc, F.slice(words, k, cnt),
+                             lambda a, b: F.concat_ws(" ", a, b))
+        out = F.array_distinct(acc) if distinct else acc
+        return _sealed(base, out)
+
+    # doubling path: levels maps gram-width -> materialized column name
+    frame = base
+    levels = {1: "words"}
+    width = 2
+    while width <= n:
+        half = levels[width // 2]
+        m = F.greatest(F.size(words) - (width - 1), F.lit(0))
+        g = F.zip_with(F.slice(F.col(half), 1, m),
+                       F.slice(F.col(half), 1 + width // 2, m),
+                       lambda a, b: F.concat_ws(" ", a, b))
+        name = f"g{width}"
+        keep = [levels[s] for s in levels]
+        frame = (frame.select(
+            "doc_id",
+            F.explode(F.array(F.struct(
+                *[F.col(c).alias(c) for c in keep],
+                g.alias(name)))).alias("z"))
+            .select("doc_id",
+                    *[F.col(f"z.{c}").alias(c) for c in keep],
+                    F.col(f"z.{name}").alias(name)))
+        levels[width] = name
+        width *= 2
+
+    # compose n from its binary decomposition, largest width first
+    parts, offset, remaining = [], 0, n
+    for w_ in sorted(levels, reverse=True):
+        while w_ <= remaining:
+            parts.append((levels[w_], offset))
+            offset += w_
+            remaining -= w_
+    acc = F.slice(F.col(parts[0][0]), 1 + parts[0][1], cnt)
+    for name, off in parts[1:]:
+        acc = F.zip_with(acc, F.slice(F.col(name), 1 + off, cnt),
                          lambda a, b: F.concat_ws(" ", a, b))
     out = F.array_distinct(acc) if distinct else acc
-    return (docs.select("doc_id", F.split("text", " ").alias("words"))
-            .where(F.size(words) >= n)
-            .select("doc_id", out.alias("ngrams")))
+    return _sealed(frame, out)
 
 
 def _minhash_bands(docs: DataFrame) -> DataFrame:
@@ -2228,9 +2318,11 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     spark = docs.sparkSession
     # the md5 sweep is the hot loop; a small input (one parquet file ->
     # one partition) would serialize it on a single core, so spread the
-    # narrow (doc_id, shingles) rows across the cluster first
-    shingled = _shingles_df(docs).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id")
+    # RAW docs across the cluster first (r6: repartition below the
+    # shingle build shuffled the ~3x-amplified shingle arrays; moving
+    # it to the text rows shuffles a third of the bytes, guide §2.3)
+    shingled = _shingles_df(docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
         lambda s: F.array_min(F.transform(
@@ -2299,8 +2391,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mass-duplicate bucket in memory; the window and the groupBy share
     # the same key, so AQE reuses one Exchange
     bucket_window = Window.partitionBy("b", "band_key").orderBy("doc_id")
+    parallelism = spark.sparkContext.defaultParallelism
     buckets = (
         bands
+        # explicit band-key repartition: exempt from AQE coalescing —
+        # the in-bucket pair expansion below amplifies the row count,
+        # so a byte-count-based coalesce of this exchange would
+        # serialize the quadratic stage (same guard as
+        # dedup_containment)
+        .repartition(parallelism, "b", "band_key")
         .withColumn("rn", F.row_number().over(bucket_window))
         .where(F.col("rn") <= 32)
         .groupBy("b", "band_key")
@@ -2371,7 +2470,10 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cluster_id downstream to dedup. The DuckDB oracle computes the
     same components with a recursive transitive closure."""
     docs = _read(spark, sf_dir, "documents")
-    bands = _minhash_bands(docs)
+    # r6: localCheckpoint the band rows (4 per doc) — `reps` and the
+    # edge join both consume them, and the edge join's probe side
+    # re-evaluated the whole md5 signature sweep (guide §2.4)
+    bands = _minhash_bands(docs).localCheckpoint()
     reps = (
         bands.groupBy("b", "band_key")
         .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
@@ -2576,8 +2678,38 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _winnowed_fps(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) rows — the winnowing pipeline shared by the
     fingerprint query and the containment matcher."""
+    return _winnowed_fp_arrays(docs).select(
+        "doc_id", F.explode("fps").alias("fingerprint"))
+
+
+def _winnowed_fp_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps array<long>) — the per-document winnowed
+    fingerprint set before the explode, so consumers that also need
+    the per-doc fingerprint COUNT can read size(fps) off the same
+    single md5 sweep instead of re-running it.
+
+    r6 CRITICAL SHAPE: `words` and `hashes` are each materialized
+    behind a one-element explode (Generate barrier, the
+    _rk_gram_occ/_ngrams_df fence). Without them, (a) CollapseProject
+    inlines the split into the per-gram md5 lambda — one full
+    re-split per gram, O(words^2) — and (b) InferFiltersFromGenerate
+    derives a size(fps) > 0 filter for the downstream explode and
+    filter pushdown CLONES the whole inlined winnow expression below
+    the repartition Exchange, where the min-window's four
+    element_at(transform(...)) references re-evaluate the entire
+    hashes sweep per fps element: O(words^3) per document, running in
+    the unspread pre-exchange scan stage (measured: the round-start
+    70 s / sf1 for dedup_containment was mostly THIS filter)."""
     words = F.col("words")
-    # rolling-hash array via a transform over gram start indexes
+    base = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .where(F.size("words") >= 5)
+        .select("doc_id", F.explode(F.array(F.struct(
+            F.col("words").alias("words")))).alias("zw"))
+        .select("doc_id", F.col("zw.words").alias("words"))
+    )
+    # rolling-hash array via a transform over gram start indexes;
+    # `words` is a materialized attribute here, so element_at is O(1)
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(0))),
         lambda i: F.conv(F.substring(F.md5(F.concat_ws(
@@ -2586,9 +2718,12 @@ def _winnowed_fps(docs: DataFrame) -> DataFrame:
             F.element_at(words, i + 4))), 1, 15), 16, 10).cast("long"),
     )
     grams = (
-        docs.select("doc_id", F.split("text", " ").alias("words"))
-        .where(F.size("words") >= 5)
-        .select("doc_id", hashes.alias("hashes"))
+        # barrier FIRST, filter on the materialized attribute after —
+        # filtering on the projection alias would let pushdown clone
+        # the md5 sweep into a second below-barrier evaluation
+        base.select("doc_id", F.explode(F.array(F.struct(
+            hashes.alias("hashes")))).alias("zh"))
+        .select("doc_id", F.col("zh.hashes").alias("hashes"))
         .where(F.size("hashes") >= 4)
     )
     fps = F.array_distinct(F.transform(
@@ -2599,7 +2734,7 @@ def _winnowed_fps(docs: DataFrame) -> DataFrame:
             F.element_at(F.col("hashes"), i + 3),
             F.element_at(F.col("hashes"), i + 4)),
     ))
-    return grams.select("doc_id", F.explode(fps).alias("fingerprint"))
+    return grams.select("doc_id", fps.alias("fps"))
 
 
 _WINNOW_FPS_SQL = f"""
@@ -2657,29 +2792,59 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: (fingerprint -> doc) inverted index, CAPPED at 32 docs
     per fingerprint by a rank window (a stop-word-like hot fingerprint
     would otherwise explode the self-join quadratically — same guard and
-    same trade-off as the LSH/ngram caps, mirrored in the oracle), then
-    a self-join keyed on the fingerprint, a pair-count aggregation, and
-    a broadcast-sized join against per-doc fingerprint counts."""
-    fps = _winnowed_fps(_read(spark, sf_dir, "documents"))
-    fp_window = Window.partitionBy("fingerprint").orderBy("doc_id")
-    capped = (fps.withColumn("rn", F.row_number().over(fp_window))
-              .where(F.col("rn") <= 32).drop("rn"))
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
-    a = capped.select("fingerprint", F.col("doc_id").alias("doc_a"))
-    b = capped.select("fingerprint", F.col("doc_id").alias("doc_b"))
-    pairs = (
-        a.join(b, "fingerprint")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared_fps"))
-        .where(F.col("shared_fps") >= 10)
+    same trade-off as the LSH/ngram caps, mirrored in the oracle).
+
+    r6 optimization (guide §2.3/§2.4): the old plan evaluated the md5
+    winnowing sweep THREE times (both sides of a fingerprint-keyed
+    self-join plus a separate per-doc size aggregate) and paid five
+    exchanges. Now the sweep runs ONCE — n_fps is size(fps) read off
+    the same per-doc array, carried through the explode — the raw docs
+    are repartitioned BEFORE the sweep (text bytes, not the ~5x gram
+    arrays; also spreads a single-file scan), the in-bucket pairs are
+    expanded in-row from the capped sorted member list exactly like
+    dedup_minhash_lsh (the window and the groupBy share the
+    fingerprint exchange), and the sizes ride the pair rows, so the
+    sizes join disappears. Plan: 3 hash exchanges total, one sweep."""
+    docs = _read(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    rows = (
+        _winnowed_fp_arrays(docs.repartition(parallelism))
+        .select("doc_id", F.size("fps").cast("long").alias("n_fps"),
+                F.explode("fps").alias("fingerprint"))
+        # EXPLICIT fingerprint repartition: a user-specified partition
+        # count is exempt from AQE coalescing — the shuffle bytes here
+        # are small but the downstream in-bucket pair expansion
+        # amplifies ~100x, and letting AQE coalesce this exchange to
+        # 1-2 partitions serializes the quadratic stage (measured:
+        # a (1+1)/2 straggler stage at sf1)
+        .repartition(parallelism, "fingerprint")
     )
-    size_a = sizes.select(F.col("doc_id").alias("doc_a"),
-                          F.col("n_fps").alias("n_a"))
-    size_b = sizes.select(F.col("doc_id").alias("doc_b"),
-                          F.col("n_fps").alias("n_b"))
+    fp_window = Window.partitionBy("fingerprint").orderBy("doc_id")
+    buckets = (
+        rows.withColumn("rn", F.row_number().over(fp_window))
+        .where(F.col("rn") <= 32)
+        .groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("doc_id", "n_fps"))).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    pairs = buckets.select(F.explode(F.filter(
+        F.flatten(F.transform(
+            F.col("members"),
+            lambda a: F.transform(
+                F.col("members"),
+                lambda c: F.struct(a.alias("a"), c.alias("b"))),
+        )),
+        lambda p: p.getField("a").getField("doc_id")
+        < p.getField("b").getField("doc_id"),
+    )).alias("pair"))
     return (
-        pairs.join(size_a, "doc_a").join(size_b, "doc_b")
+        pairs.groupBy(F.col("pair.a.doc_id").alias("doc_a"),
+                      F.col("pair.b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fps"),
+             F.min("pair.a.n_fps").alias("n_a"),
+             F.min("pair.b.n_fps").alias("n_b"))
+        .where(F.col("shared_fps") >= 10)
         .select(
             "doc_a", "doc_b", "shared_fps",
             F.round(F.col("shared_fps").cast("double")
@@ -2711,8 +2876,10 @@ def decontaminate(docs: DataFrame, n: int = 13,
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     is_eval = _h(F.col("doc_id").cast("string")) % eval_mod == 0
-    grams = (_ngrams_df(docs, n)
-             .repartition(parallelism, "doc_id")
+    # repartition the RAW docs (text bytes) before the gram build — the
+    # old shape shuffled the ~13x-amplified gram ARRAYS (guide §2.3);
+    # the groupBy below still reuses this doc_id partitioning
+    grams = (_ngrams_df(docs.repartition(parallelism, "doc_id"), n)
              .select("doc_id", F.explode("ngrams").alias("gram"))
              .select("doc_id", _h(F.col("gram")).alias("gram_h"),
                      is_eval.alias("is_eval")))
@@ -2870,14 +3037,26 @@ def hll_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — each executor merges registers locally (max is the merge),
     the exchange carries at most m rows per partition; the exact
     count_distinct beside it is the expensive comparison baseline the
-    sketch exists to replace."""
+    sketch exists to replace.
+
+    r6 optimization (guide §2.3/§2.4): register bucket and rho are
+    functions of the gram STRING, so max over duplicate instances
+    equals max over distincts — the registers are now computed from
+    the same distinct-gram frame the exact baseline counts. The two
+    branches share one identical distinct subtree, so ReuseExchange
+    runs the n-gram sweep and the gram exchange ONCE (the old plan
+    paid the sweep twice: once under the register hash, once under
+    count_distinct), and the raw docs are repartitioned before the
+    sweep so a single-file scan cannot serialize it."""
     docs = _read(spark, sf_dir, "documents")
-    grams = (_ngrams_df(docs, 13)
+    parallelism = spark.sparkContext.defaultParallelism
+    grams = (_ngrams_df(docs.repartition(parallelism), 13)
              .select(F.explode("ngrams").alias("gram")))
+    distinct_grams = grams.distinct()
     h2 = _h(F.concat(F.lit("hllv:"), F.col("gram")))
     rho = F.when(h2 == 0, F.lit(61)) \
         .otherwise(F.lit(61) - F.length(F.bin(h2)))
-    hashed = grams.select(
+    hashed = distinct_grams.select(
         (_h(F.concat(F.lit("hllb:"), F.col("gram"))) % _HLL_M)
         .alias("bucket"),
         F.least(rho, F.lit(_HLL_RHO_CAP)).alias("rho"))
@@ -2886,8 +3065,8 @@ def hll_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_filled"),
         F.sum(F.expr(f"shiftleft(cast(1 AS bigint), "
                      f"{_HLL_RHO_CAP} - m_j)")).alias("s_filled"))
-    truth = grams.agg(
-        F.countDistinct("gram").alias("true_distinct"))
+    truth = distinct_grams.agg(
+        F.count("gram").alias("true_distinct"))
     s_total = (F.col("s_filled")
                + (F.lit(_HLL_M) - F.col("n_filled"))
                * F.lit(1 << _HLL_RHO_CAP)).cast("double")
@@ -2971,8 +3150,13 @@ def bloom_decon_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+count algebra instead of packed words — independent
     representations, identical semantics."""
     docs = _read(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
     is_eval = _h(F.col("doc_id").cast("string")) % 20 == 0
-    ev_grams = (_ngrams_df(docs.where(is_eval), 13)
+    # r6: both gram sweeps run behind a raw-docs repartition — a
+    # single-file parquet scan would otherwise serialize the whole
+    # 4-probe sweep on one core (guide §2.5 input skew)
+    ev_grams = (_ngrams_df(docs.where(is_eval)
+                           .repartition(parallelism, "doc_id"), 13)
                 .select(F.explode("ngrams").alias("gram")).distinct()
                 .localCheckpoint())
     pos_of = lambda s, g: _h(F.concat(F.lit(f"{s}:"), g)) % _BLOOM_BITS
@@ -3003,12 +3187,21 @@ def bloom_decon_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = t if cond is None else cond & t
         return cond
 
-    corpus = (_ngrams_df(docs.where(~is_eval), 13)
+    corpus = (_ngrams_df(docs.where(~is_eval)
+                         .repartition(parallelism, "doc_id"), 13)
               .where(F.size("ngrams") > 0))
-    probed = corpus.select(
+    # survivors materialize behind a Generate barrier: the final
+    # projection reads them twice (count + explode), and without the
+    # barrier CollapseProject would inline the 4-probe filter into
+    # both references — every gram probed twice (r6, guide §1.2)
+    probed = (corpus.select(
         "doc_id",
-        F.size("ngrams").cast("long").alias("n_grams"),
-        F.filter("ngrams", bloom_hit).alias("survivors"))
+        F.explode(F.array(F.struct(
+            F.size("ngrams").cast("long").alias("n_grams"),
+            F.filter("ngrams", bloom_hit).alias("survivors"),
+        ))).alias("zp"))
+        .select("doc_id", F.col("zp.n_grams").alias("n_grams"),
+                F.col("zp.survivors").alias("survivors")))
     marked = ev_grams.select("gram", F.lit(1).alias("m"))
     return (probed.select(
         "doc_id", "n_grams",
@@ -3043,8 +3236,8 @@ def eval_leakage(docs: DataFrame, n: int = 13,
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     is_eval = _h(F.col("doc_id").cast("string")) % eval_mod == 0
-    grams = (_ngrams_df(docs, n)
-             .repartition(parallelism, "doc_id")
+    # raw-docs repartition before the gram build, as in `decontaminate`
+    grams = (_ngrams_df(docs.repartition(parallelism, "doc_id"), n)
              .select("doc_id", F.explode("ngrams").alias("gram"))
              .select("doc_id", _h(F.col("gram")).alias("gram_h"),
                      is_eval.alias("is_eval")))
@@ -3198,9 +3391,10 @@ def decontaminate_spans(docs: DataFrame, n: int = 13,
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     is_eval = _h(F.col("doc_id").cast("string")) % eval_mod == 0
+    # raw-docs repartition before the gram build, as in `decontaminate`
     grams_pos = (
-        _ngrams_df(docs, n, distinct=False)
-        .repartition(parallelism, "doc_id")
+        _ngrams_df(docs.repartition(parallelism, "doc_id"), n,
+                   distinct=False)
         .select("doc_id", F.posexplode("ngrams").alias("pos", "gram"))
         .select("doc_id", "pos", _h(F.col("gram")).alias("gram_h"),
                 is_eval.alias("is_eval"))
@@ -4269,28 +4463,36 @@ FROM bits GROUP BY doc_id
 """)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document, fully JVM-side: per-bit
-    signed vote over distinct-word hashes, then bit assembly."""
-    docs = _read(spark, sf_dir, "documents")
+    signed vote over distinct-word hashes, then bit assembly.
+
+    r6 optimization (guide §2.3/§2.4): the old plan exploded every
+    word hash x16 bit rows and paid two exchanges ((doc_id, b) then
+    doc_id); the 16 per-bit votes are now 16 columns of ONE map-side
+    combinable aggregate — the exchange carries one 16-column row per
+    doc per partition and the bit assembly is a final projection.
+    Identical sums, identical fingerprints."""
+    docs = _read(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     words = F.array_distinct(F.split("text", " "))
     word_hash = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10) \
         .cast("long")
-    exploded = (
+    hashed = (
         docs.where(F.length(F.trim("text")) > 0)
         .select("doc_id", F.explode(words).alias("w"))
         .select("doc_id", word_hash.alias("h"))
-        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15)))
-                .alias("b"), "h")
-        .withColumn("vote",
-                    F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 "
-                           "THEN 1 ELSE -1 END"))
     )
-    bits = exploded.groupBy("doc_id", "b").agg(F.sum("vote").alias("weight"))
-    return (
-        bits.groupBy("doc_id")
-        .agg(F.sum(F.expr("CASE WHEN weight > 0 THEN shiftleft(1, b) "
-                          "ELSE 0 END"))
-             .cast("long").alias("simhash16"))
-    )
+    votes = hashed.select("doc_id", *[
+        F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+               "THEN 1 ELSE -1 END").alias(f"v{b}")
+        for b in range(16)])
+    weights = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"w{b}") for b in range(16)])
+    assembled = None
+    for b in range(16):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(0)
+        assembled = term if assembled is None else assembled + term
+    return weights.select(
+        "doc_id", assembled.cast("long").alias("simhash16"))
 
 
 def _dot(a, b):
@@ -4306,6 +4508,58 @@ def _norm(a):
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
+
+
+def _fold_dot_np(mat, w):
+    """Exact NumPy twin of _dot against a constant vector: accumulating
+    ``acc += mat[:, j] * w[j]`` over the DIMENSION axis applies the
+    identical left-fold double operation sequence per row, so the
+    result is bit-equal to the interpreted zip_with/aggregate
+    expression — vectorization over rows, exactness over dims."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0])
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * w[j]
+    return acc
+
+
+def _fold_sqnorm_np(mat):
+    """Exact NumPy twin of _norm (before the sqrt): left fold of x*x
+    over the dimension axis."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0])
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * mat[:, j]
+    return acc
+
+
+def _round6_half_up_np(x):
+    """Vectorized decimal-HALF_UP round to 6 places of a double array,
+    matching Spark's round(col, 6) / BigDecimal.valueOf semantics. The
+    fast path rounds y = x * 1e6 half-away-from-zero in float — exact
+    whenever frac(y) is not within 1e-6 of .5, since the float error of
+    the scaling is ~1e-10 at |x| <= 1 scale; band elements re-round via
+    Decimal(repr(x)), which equals BigDecimal.valueOf(x) digit for
+    digit (both are shortest round-trip decimal representations)."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    y = x * 1e6
+    r = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5))
+    frac = y - np.floor(y)
+    band = np.abs(frac - 0.5) < 1e-6
+    out = r / 1e6
+    if band.any():
+        q = Decimal("0.000001")
+        flat = out.reshape(-1)
+        xf = np.asarray(x, dtype=np.float64).reshape(-1)
+        for idx in np.nonzero(band.reshape(-1))[0]:
+            flat[idx] = float(
+                Decimal(repr(float(xf[idx]))).quantize(
+                    q, rounding=ROUND_HALF_UP))
+    return out
 
 
 _COSINE_SQL = """
@@ -4436,31 +4690,51 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nearest neighbors sit at ~68 degrees; any sublinear LSH misses them
     by information theory) — tests/test_ann_lsh.py quantifies the bound
     and proves recall 1.0 with a sublinear candidate set on clustered
-    vectors, the regime real embedding corpora live in."""
+    vectors, the regime real embedding corpora live in.
+
+    r6 optimization (guide §4.2): the 64 plane dot products per vector
+    used to run as interpreted fold expressions (~4096 interpreted
+    multiply-adds/row); the signature stage now accumulates the SAME
+    left fold vectorized over the dimension axis in NumPy —
+    ``acc += E[:, j] * w[j]`` applies the identical double operation
+    sequence per row, so every dot (and its sign, and the bucket) is
+    bit-exact, no tolerance argument needed. The signature frame
+    localCheckpoints because a filter cannot push below the opaque
+    Python map (the query branch would otherwise re-run the full
+    sweep)."""
     emb = _read(spark, sf_dir, "embeddings")
+    planes = [[_ann_plane(t, b) for b in range(_ANN_BITS)]
+              for t in range(_ANN_TABLES)]
 
-    # ONE SQL expression per table, assembled as text: building this from
-    # 4,096 Column objects costs seconds of driver-side py4j round trips;
-    # the rendered expression is identical to Catalyst either way
-    def dot_sql(t: int, b: int) -> str:
-        plane = ", ".join(f"{w:.1f}D" for w in _ann_plane(t, b))
-        return (f"aggregate(zip_with(embedding, array({plane}), "
-                "(x, w) -> cast(x as double) * w), 0.0D, "
-                "(acc, v) -> acc + v)")
+    def sig_fn(batches):
+        import numpy as np
+        import pandas as pd
+        pl = np.asarray(planes, dtype=np.float64)   # (T, B, D)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            n, d = mat.shape
+            buckets = np.zeros((n, _ANN_TABLES), dtype=np.int64)
+            for t in range(_ANN_TABLES):
+                for b in range(_ANN_BITS):
+                    acc = np.zeros(n)
+                    w = pl[t, b]
+                    for j in range(d):
+                        acc += mat[:, j] * w[j]   # exact left fold
+                    # Spark orders NaN above every numeric: NaN > 0
+                    bit = (acc > 0) | np.isnan(acc)
+                    buckets[:, t] |= bit.astype(np.int64) << b
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(),
+                                    _ANN_TABLES),
+                "t": np.tile(np.arange(_ANN_TABLES, dtype=np.int64), n),
+                "bucket": buckets.reshape(-1),
+            })
 
-    def bucket_sql(t: int) -> str:
-        bits = " + ".join(
-            f"if({dot_sql(t, b)} > 0, {1 << b}L, 0L)"
-            for b in range(_ANN_BITS))
-        return f"({bits})"
-
-    tables = ", ".join(
-        f"named_struct('t', {t}L, 'bucket', {bucket_sql(t)})"
-        for t in range(_ANN_TABLES))
-    sigs = emb.select(
-        "vec_id", F.explode(F.expr(f"array({tables})")).alias("tb")
-    ).select("vec_id", F.col("tb.t").alias("t"),
-             F.col("tb.bucket").alias("bucket"))
+    sigs = emb.select("vec_id", "embedding").mapInPandas(
+        sig_fn, "vec_id long, t long, bucket long").localCheckpoint()
 
     qsigs = sigs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "t", "bucket")
@@ -4510,45 +4784,58 @@ _PQ_SUBDIST_SQL = """
 """
 
 
-def _pq_subdist_literal_sql(m: int, codeword: list) -> str:
-    """Squared L2 between this row's subvector m and a driver-inlined
-    codeword slice, as ONE rendered SQL string (4,096 Column objects
-    would cost seconds of py4j; the rendered text is identical to
-    Catalyst).  Left-fold in dim order and pow(., 2.0) match the
-    oracle's list_reduce arithmetic bit-for-bit."""
-    arr = ", ".join(f"{float(x)!r}D" for x in codeword)
-    return (f"aggregate(zip_with(slice(embedding, {m * _PQ_DSUB + 1}, "
-            f"{_PQ_DSUB}), array({arr}), "
-            "(x, w) -> pow(cast(x as double) - w, 2.0D)), "
-            "0.0D, (acc, v) -> acc + v)")
-
-
 def pq_encode(emb: DataFrame, codebook: list) -> DataFrame:
-    """PQ ENCODE as a zero-shuffle per-row argmin: the 16 codewords per
-    subvector are inlined as literals (an index-build collect, like
-    IVF's pivots) and each sub-code is `array_sort` over 16
-    (subdist, code) structs — no explode, no join, no window, no
-    Exchange anywhere in the encode plan.  Ties break on the smaller
-    code, matching the oracle's `ORDER BY subdist ASC, code ASC`.
-    Returns (vec_id, m, code) via one posexplode of the codes array.
+    """PQ ENCODE as a zero-shuffle per-row argmin — no explode, no
+    join, no window, no Exchange anywhere in the encode plan. Ties
+    break on the smaller code, matching the oracle's
+    `ORDER BY subdist ASC, code ASC`. Returns (vec_id, m, code).
 
     `codebook` is the list of the 16 codeword vectors in code order
     (collected from the same cb frame ADC broadcasts); codeword c of
-    subvector m is vector c's dims [m*8, m*8+8)."""
-    code_cols = []
-    for m in range(_PQ_M):
-        structs = ", ".join(
-            f"named_struct('d', {_pq_subdist_literal_sql(m, list(vec)[m * _PQ_DSUB:(m + 1) * _PQ_DSUB])}, "
-            f"'c', {c})"
-            for c, vec in enumerate(codebook))
-        code_cols.append(
-            f"array_sort(array({structs}), (l, r) -> "
-            "CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1 "
-            "WHEN l.c < r.c THEN -1 ELSE 1 END)[0].c")
-    codes = f"array({', '.join(code_cols)})"
-    return (emb.select("vec_id",
-                       F.posexplode(F.expr(codes)).alias("m", "code"))
-            .select("vec_id", "m", "code"))
+    subvector m is vector c's dims [m*8, m*8+8).
+
+    r6 optimization (guide §4.2): the 128 subdistances per row used to
+    run as interpreted fold expressions (~2k interpreted double
+    ops/row); they now accumulate in NumPy over the dimension axis —
+    the identical left-fold sequence per row, with pow(x, 2.0)
+    replaced by x*x (bit-equal for squares: a correctly-rounded pow of
+    exponent 2 IS the rounded product; pinned over 40M samples by
+    tests/test_pow_square_identity.py) — so every argmin comparison
+    runs on bit-identical doubles and no tolerance argument is
+    needed."""
+    def enc_fn(batches):
+        import numpy as np
+        import pandas as pd
+        cwm = np.asarray([[float(x) for x in vec] for vec in codebook],
+                         dtype=np.float64)       # (codes, dim)
+        n_codes = cwm.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            n = mat.shape[0]
+            codes = np.empty((n, _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                sub = mat[:, m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
+                dists = np.empty((n, n_codes))
+                for c in range(n_codes):
+                    acc = np.zeros(n)
+                    for j in range(_PQ_DSUB):
+                        diff = sub[:, j] - cwm[c, m * _PQ_DSUB + j]
+                        acc += diff * diff   # exact left fold, == pow 2
+                    dists[:, c] = acc
+                # Spark orders NaN above every numeric in comparisons
+                dists[np.isnan(dists)] = np.inf
+                codes[:, m] = dists.argmin(axis=1)  # ties -> lower code
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _PQ_M),
+                "m": np.tile(np.arange(_PQ_M, dtype=np.int32), n),
+                "code": codes.reshape(-1),
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        enc_fn, "vec_id long, m int, code int")
 
 
 @_register("similarity_pq", f"""
@@ -4682,40 +4969,66 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen'd projection. Queries probe their 2 nearest
     cells; the expensive cosine runs only on the candidate cells' members
     (~nprobe/K of the corpus). Identical left-fold double arithmetic on
-    both engines keeps the argmax and ordering bit-stable."""
+    both engines keeps the argmax and ordering bit-stable.
+
+    r6 optimization (guide §4.2): the per-row 16-cell argmax used to
+    run as an interpreted array_sort over 16 fold expressions
+    (~2k interpreted double ops/row). Assignment now runs in NumPy:
+    exact left-fold dots/norms vectorized over the dimension axis
+    (bit-equal by construction — see _fold_dot_np), the round-6 via
+    _round6_half_up_np (decimal-HALF_UP with a Decimal recheck in the
+    half-boundary band), and the top-2 argmax with the same
+    (cosine desc, cell asc) tie-break. The assignment frame
+    localCheckpoints because filters cannot push below the Python
+    map."""
     emb = _read(spark, sf_dir, "embeddings")
     pivots = sorted(
         emb.where((F.col("vec_id") >= _IVF_PIVOT_LO)
                   & (F.col("vec_id") < _IVF_PIVOT_HI))
         .select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id)
+    piv_ids = [int(p.vec_id) for p in pivots]
+    piv_vecs = [[float(x) for x in p.embedding] for p in pivots]
 
-    def cos_sql(vec: list) -> str:
-        arr = ", ".join(f"{float(x)!r}D" for x in vec)
-        dot = ("aggregate(zip_with(embedding, array({a}), (x, w) -> "
-               "cast(x as double) * w), 0.0D, (acc, v) -> acc + v)"
-               .format(a=arr))
-        qnorm = ("sqrt(aggregate(transform(embedding, x -> "
-                 "cast(x as double) * cast(x as double)), 0.0D, "
-                 "(acc, v) -> acc + v))")
-        pnorm = ("sqrt(aggregate(transform(array({a}), x -> x * x), "
-                 "0.0D, (acc, v) -> acc + v))".format(a=arr))
-        return f"round({dot} / ({qnorm} * {pnorm}), 6)"
+    def assign_fn(batches):
+        import math
+        import numpy as np
+        import pandas as pd
+        pv = [np.asarray(v, dtype=np.float64) for v in piv_vecs]
+        # pnorm exactly as the old literal expression: left fold of
+        # x*x over the inlined doubles, then sqrt
+        pnorms = []
+        for v in pv:
+            acc = 0.0
+            for x in v.tolist():
+                acc += x * x
+            pnorms.append(math.sqrt(acc))
+        ids = np.asarray(piv_ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            qnorm = np.sqrt(_fold_sqnorm_np(mat))
+            scored = np.empty((mat.shape[0], len(pv)))
+            for c, v in enumerate(pv):
+                denom = qnorm * pnorms[c]
+                scored[:, c] = _round6_half_up_np(
+                    _fold_dot_np(mat, v) / denom)
+            best = scored.argmax(axis=1)        # ties -> lowest cell
+            rows = np.arange(mat.shape[0])
+            scored[rows, best] = -np.inf
+            second = scored.argmax(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": ids[best],
+                "cell2": ids[second],
+            })
 
-    ranked = ", ".join(
-        f"named_struct('c', {cos_sql(list(p.embedding))}, "
-        f"'cell', {int(p.vec_id)}L)"
-        for p in pivots)
-    sorted_cells = (
-        f"array_sort(array({ranked}), (l, r) -> "
-        "CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1 "
-        "WHEN l.cell < r.cell THEN -1 ELSE 1 END)")
-
-    with_cells = emb.select(
-        "vec_id", "embedding",
-        F.expr(f"{sorted_cells}[0].cell").alias("cell"),
-        F.expr(f"{sorted_cells}[1].cell").alias("cell2"),
-    )
+    with_cells = (emb.select("vec_id", "embedding")
+                  .mapInPandas(assign_fn,
+                               "vec_id long, cell long, cell2 long")
+                  .localCheckpoint())
     cells = with_cells.select("vec_id", "cell")
     qprobe = (
         with_cells.where(F.col("vec_id") < 5)
@@ -4763,18 +5076,93 @@ _KM_QUANT_EXPR = ("transform(embedding, x -> "
                   "as bigint))")
 
 
-def _km_best_sql(centroids) -> str:
-    """Argmin-cluster expression against driver-inlined centroid
-    literals: array_sort over (dist_sq, cluster) structs — natural
-    struct ordering gives the min distance with lowest-index
-    tie-break, identical to the oracle's row_number ordering."""
-    structs = []
-    for c, cent in enumerate(centroids):
-        arr = ", ".join(f"{int(v)}L" for v in cent)
-        d = (f"aggregate(zip_with(q, array({arr}), "
-             f"(x, w) -> (x - w) * (x - w)), 0L, (acc, v) -> acc + v)")
-        structs.append(f"named_struct('d', {d}, 'c', {c})")
-    return f"array_sort(array({', '.join(structs)}))[0]"
+def _km_quant_np(mat):
+    """NumPy twin of _KM_QUANT_EXPR: decimal-HALF_UP round of
+    float32 x 1e6, exact int64. floor(y + 0.5) / ceil(y - 0.5) equals
+    BigDecimal HALF_UP here because every y = float32 * 1e6 is EXACT
+    in double with <= 38 significant bits: the closest representable
+    non-half fractional part is >= 2^-25 away from .5, so the float
+    add/sub can never cross an integer boundary spuriously, and exact
+    .5 halves round away from zero in both formulations."""
+    import numpy as np
+
+    y = mat.astype(np.float64) * _KM_SCALE
+    return np.where(y >= 0, np.floor(y + 0.5),
+                    np.ceil(y - 0.5)).astype(np.int64)
+
+
+def _km_dists_np(quant, centroids):
+    """(k, n) exact-int64 squared distances between quantized rows and
+    int64 centroids — NumPy integer arithmetic is exact, so argmin and
+    dist_sq match the fold-expression/oracle bit-for-bit."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.int64)
+    k = cents.shape[0]
+    dists = np.empty((k, quant.shape[0]), dtype=np.int64)
+    for c in range(k):
+        diff = quant - cents[c]
+        dists[c] = np.einsum("ij,ij->i", diff, diff)
+    return dists
+
+
+def _km_centroid_loop(ckpt: DataFrame, k: int, iters: int):
+    """The Lloyd centroid loop over a checkpointed (vec_id, embedding)
+    frame: per iteration, ONE Arrow-batched pass computes per-task
+    partial (cluster, count, dim-sums) in exact int64 NumPy
+    (guide §4.2 — the per-row argmin against k inlined centroids used
+    to run as an interpreted fold expression), a tiny map-side
+    combinable aggregate reduces them to k rows on the driver, and the
+    floor-mean update runs on exact Python ints. Returns the final
+    centroid list. Bounded driver state: k x (1 + d) bigints per
+    iteration, same as before."""
+    import numpy as np
+
+    init = sorted(
+        ckpt.where((F.col("vec_id") >= _KM_INIT_LO)
+                   & (F.col("vec_id") < _KM_INIT_LO + k)).collect(),
+        key=lambda r: r.vec_id)
+    centroids = [
+        [int(v) for v in
+         _km_quant_np(np.asarray(list(r.embedding), dtype=np.float64))]
+        for r in init]
+    dim = len(centroids[0])
+    stats_schema = ("cluster int, n long, "
+                    + ", ".join(f"s{i} long" for i in range(dim)))
+    for _ in range(iters):
+        cents = [list(c) for c in centroids]
+
+        def partial_stats(batches, _cents=cents, _dim=dim, _k=k):
+            import pandas as pd
+            counts = np.zeros(_k, dtype=np.int64)
+            sums = np.zeros((_k, _dim), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                quant = _km_quant_np(np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in pdf["embedding"]]))
+                best = _km_dists_np(quant, _cents).argmin(axis=0)
+                counts += np.bincount(best, minlength=_k)
+                np.add.at(sums, best, quant)
+            live = np.nonzero(counts)[0]
+            out = {"cluster": live.astype("int32"), "n": counts[live]}
+            for i in range(_dim):
+                out[f"s{i}"] = sums[live, i]
+            yield pd.DataFrame(out)
+
+        stats = (ckpt.mapInPandas(partial_stats, stats_schema)
+                 .groupBy("cluster")
+                 .agg(F.sum("n").alias("n"),
+                      *[F.sum(f"s{i}").alias(f"s{i}")
+                        for i in range(dim)])
+                 .collect())
+        new = {int(r["cluster"]):
+               [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
+               for r in stats}
+        # empty clusters keep their previous centroid
+        centroids = [new.get(c, centroids[c]) for c in range(k)]
+    return centroids
 
 
 def kmeans_assign(emb: DataFrame, k: int = _KM_K,
@@ -4795,37 +5183,41 @@ def kmeans_assign(emb: DataFrame, k: int = _KM_K,
     make the update independent of partitioning/reduction order; the
     floor-mean uses Python // on exact ints, mirrored by the oracle's
     floor(sum::DOUBLE/count) (exact while |sum| < 2^53 — at larger
-    per-cluster mass, swap the oracle to int128 division)."""
-    # one parquet scan total: quantize once, checkpoint, and let the
-    # init collect, every iteration's aggregate, and the final
-    # assignment all read the checkpointed copy — the same cache-once
-    # shape MLlib's KMeans uses
-    qe = (emb.select("vec_id", F.expr(_KM_QUANT_EXPR).alias("q"))
-          .localCheckpoint())
-    init = sorted(
-        qe.where((F.col("vec_id") >= _KM_INIT_LO)
-                 & (F.col("vec_id") < _KM_INIT_LO + k)).collect(),
-        key=lambda r: r.vec_id)
-    centroids = [list(r.q) for r in init]
-    dim = len(centroids[0])
-    for _ in range(iters):
-        best = F.expr(_km_best_sql(centroids) + ".c")
-        stats = (qe.select(best.alias("cluster"), "q")
-                 .groupBy("cluster")
-                 .agg(F.count("*").alias("n"),
-                      *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-                        for i in range(dim)])
-                 .collect())
-        new = {int(r["cluster"]):
-               [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
-               for r in stats}
-        # empty clusters keep their previous centroid
-        centroids = [new.get(c, centroids[c]) for c in range(k)]
-    best = F.expr(_km_best_sql(centroids))
-    return (qe.select("vec_id", best.alias("b"))
-            .select("vec_id",
-                    F.col("b.c").alias("cluster"),
-                    F.col("b.d").alias("dist_sq")))
+    per-cluster mass, swap the oracle to int128 division).
+
+    r6 optimization (guide §4.2): the per-row argmin used to run as an
+    interpreted k x d fold expression per pass (higher-order functions
+    never enter whole-stage codegen); all three passes now hand Arrow
+    batches to exact-int64 NumPy, which is bit-identical by
+    construction — integer quantization, distances and argmin have no
+    summation-order freedom."""
+    # one parquet scan total: checkpoint the raw (vec_id, embedding)
+    # rows and let the init collect, every iteration's stats pass, and
+    # the final assignment all read the checkpointed copy — the same
+    # cache-once shape MLlib's KMeans uses
+    ckpt = emb.select("vec_id", "embedding").localCheckpoint()
+    centroids = _km_centroid_loop(ckpt, k, iters)
+    cents = [list(c) for c in centroids]
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            quant = _km_quant_np(np.stack(
+                [np.asarray(v, dtype=np.float64)
+                 for v in pdf["embedding"]]))
+            dists = _km_dists_np(quant, cents)
+            best = dists.argmin(axis=0)   # first-min == lowest-c tie
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": best.astype("int32"),
+                "dist_sq": dists[best, np.arange(len(best))],
+            })
+
+    return ckpt.mapInPandas(assign,
+                            "vec_id long, cluster int, dist_sq long")
 
 
 def _kmeans_oracle_sql() -> str:
@@ -4903,29 +5295,128 @@ def semdedup_pairs(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
     N so per-cluster membership stays bounded (SemDeDup uses ~100k
     clusters at web scale), making the per-cluster self-join
     O(N * cluster_size), not O(N^2) — pass ``k`` to apply it (init
-    vectors are {_KM_INIT_LO}..{_KM_INIT_LO}+k-1; beyond a few
-    hundred clusters, swap the inlined-literal assignment for a
-    broadcast join against a centroid table). The cluster assignment
-    reuses kmeans_assign's shuffle-free projection; the self-join
-    shuffles on the cluster key once. Threshold comparison uses the
-    suite's round-6 cosine, so boundary behavior matches the
-    oracle."""
-    a = kmeans_assign(emb, k=k, iters=iters).select("vec_id", "cluster")
-    m = a.join(emb.select("vec_id", "embedding"), "vec_id")
-    lo = m.select(F.col("vec_id").alias("lo"), "cluster",
-                  F.col("embedding").alias("le"))
-    hi = m.select("vec_id", "cluster", F.col("embedding").alias("re"))
-    cosine = F.round(
-        _dot(F.col("le"), F.col("re"))
-        / (_norm(F.col("le")) * _norm(F.col("re"))), 6)
-    pairs = (lo.join(hi, "cluster")
-             .where(F.col("lo") < F.col("vec_id"))
-             .select("vec_id", "cluster", "lo", cosine.alias("cosine"))
-             .where(F.col("cosine") >= tau))
-    return (pairs.groupBy("vec_id", "cluster")
-            .agg(F.min("lo").alias("dup_of"),
-                 F.count("*").alias("n_dup_neighbors"))
-            .select("vec_id", "cluster", "dup_of", "n_dup_neighbors"))
+    vectors are {_KM_INIT_LO}..{_KM_INIT_LO}+k-1).
+
+    r6 optimization (guide §4.2): the within-cluster pairwise cosine
+    used to run as an interpreted fold expression per PAIR (a
+    cluster-keyed self-join exploding ~12M rows at the driver's sf1);
+    it now runs as blocked float64 matmul inside ONE Arrow-batched
+    group map per cluster. Threshold behavior stays exact: a pair
+    whose BLAS cosine lands within 1e-7 of the decimal round-6
+    boundary (BLAS vs left-fold summation differ by < 1e-13) is
+    re-scored with the identical left-fold double arithmetic and
+    BigDecimal-HALF_UP rounding the old expression / the oracle use,
+    so the accepted pair set — and therefore every output row — is
+    bit-identical to the self-join plan's."""
+    ckpt = emb.select("vec_id", "embedding").localCheckpoint()
+    centroids = _km_centroid_loop(ckpt, k, iters)
+    cents = [list(c) for c in centroids]
+
+    def assign_with_vec(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            quant = _km_quant_np(np.stack(
+                [np.asarray(v, dtype=np.float64)
+                 for v in pdf["embedding"]]))
+            best = _km_dists_np(quant, cents).argmin(axis=0)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": best.astype("int32"),
+                "embedding": pdf["embedding"],
+            })
+
+    assigned = ckpt.mapInPandas(
+        assign_with_vec,
+        "vec_id long, cluster int, embedding array<float>")
+    return assigned.groupBy("cluster").applyInPandas(
+        _semdedup_cluster_fn(tau),
+        "vec_id long, cluster int, dup_of long, n_dup_neighbors long")
+
+
+def _semdedup_cluster_fn(tau: float):
+    """Per-cluster pairwise scorer for semdedup_pairs: blocked float64
+    matmul over the cluster's (sorted-by-id) matrix, with the
+    exact-recheck band described in semdedup_pairs. Returns the rows
+    (vec_id, cluster, dup_of, n_dup_neighbors) for members having at
+    least one LOWER-id neighbor with round(cosine, 6) >= tau."""
+    from decimal import Decimal
+
+    # round(cos, 6) >= tau  <=>  decimal(cos) >= tau - 5e-7 (HALF_UP)
+    boundary = Decimal(str(tau)) - Decimal("0.0000005")
+    bf = float(boundary)
+    band = 1e-7
+
+    def exact_ge(a32, b32) -> bool:
+        # the identical left-fold double arithmetic of _dot/_norm and
+        # the oracle's list_reduce, then BigDecimal-style HALF_UP
+        import math
+        ax = a32.tolist()
+        bx = b32.tolist()
+        dot = 0.0
+        for x, y in zip(ax, bx):
+            dot += x * y
+        na = 0.0
+        for x in ax:
+            na += x * x
+        nb = 0.0
+        for y in bx:
+            nb += y * y
+        denom = math.sqrt(na) * math.sqrt(nb)
+        cos = dot / denom if denom != 0.0 else math.nan
+        if math.isnan(cos) or math.isinf(cos):
+            # Spark orders NaN above every numeric; +inf >= tau too
+            return not (cos == -math.inf)
+        return Decimal(repr(cos)) >= boundary
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+        n = len(pdf)
+        cols = ["vec_id", "cluster", "dup_of", "n_dup_neighbors"]
+        if n < 2:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        vecs32 = [np.asarray(v, dtype=np.float32)
+                  for v in pdf["embedding"].to_numpy()[order]]
+        mat = np.stack(vecs32).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        safe = np.where(norms == 0.0, 1.0, norms)
+        first = np.full(n, -1, dtype=np.int64)
+        cnt = np.zeros(n, dtype=np.int64)
+        rows = np.arange(n)
+        block = 2048   # bounds the cosine block at n x 2048 doubles
+        for j0 in range(0, n, block):
+            j1 = min(j0 + block, n)
+            cos = mat @ mat[j0:j1].T
+            cos /= safe[:, None]
+            cos /= safe[j0:j1][None, :]
+            # Spark orders NaN (zero-norm cosine) above every numeric
+            cos[norms == 0.0, :] = np.inf
+            cos[:, norms[j0:j1] == 0.0] = np.inf
+            tri = rows[:, None] < np.arange(j0, j1)[None, :]
+            acc = tri & (cos > bf + band)
+            near = tri & (np.abs(cos - bf) <= band)
+            for i, jl in zip(*np.nonzero(near)):
+                if exact_ge(vecs32[i], vecs32[j0 + jl]):
+                    acc[i, jl] = True
+            bc = acc.sum(axis=0)
+            fi = np.where(bc > 0, acc.argmax(axis=0), -1)
+            cnt[j0:j1] = bc
+            first[j0:j1] = fi
+        keep = cnt > 0
+        return pd.DataFrame({
+            "vec_id": ids[keep],
+            "cluster": pdf["cluster"].to_numpy()[order][keep],
+            "dup_of": ids[first[keep]],
+            "n_dup_neighbors": cnt[keep],
+        })
+
+    return fn
 
 
 @_register("semdedup_embedding", f"""
@@ -5951,3 +6442,45 @@ for _name, (_template, _fixture) in GOLDEN_INPUT_ORACLE_TEMPLATES.items():
     # quantifier braces ({2,}) that format() would try to interpret
     ORACLE_SQL[_name] = _template.replace(
         "{path}", golden_path("sf0.01", _fixture))
+
+
+# ---------------------------------------------------------------------------
+# registration-order epilogue (r6, VERDICT r5 "Next round" ask #1)
+# ---------------------------------------------------------------------------
+# The driver's CORRECTNESS gate witnesses the FIRST 50 registrations in
+# order. Rounds 1-5 registered the extraction/analytics queries first, so
+# the 40 LLM-pipeline operators registered after dsir_importance_weights
+# never received a driver correctness row. Re-insert the registries with
+# those 40 first; the 50 already-driver-witnessed queries follow (they
+# keep pytest + frozen-golden coverage regardless of position). This is
+# PURE ordering: no query body, oracle SQL text, or result changes.
+_WITNESS_FIRST = [
+    "quality_classifier", "dedup_minhash_lsh", "dedup_minhash_components",
+    "dedup_ngram_jaccard", "fingerprint_winnow", "dedup_containment",
+    "decontaminate_ngrams", "hll_distinct_ngrams", "bloom_decon_prefilter",
+    "eval_leakage_report", "conversation_decontaminate",
+    "decontaminate_span_removal", "dedup_substring_repair",
+    "conversation_substring_repair", "pii_scrub_documents",
+    "conversation_pii_scrub", "conversation_line_dedup",
+    "conversation_line_repair", "pack_training_sequences",
+    "packing_efficiency", "temperature_sampling", "curation_funnel",
+    "conversation_curation_funnel", "dedup_simhash", "similarity_topk",
+    "similarity_ann_lsh", "similarity_pq", "similarity_ivf",
+    "kmeans_embeddings", "semdedup_embedding", "similarity_recall_report",
+    "dedup_embedding_cosine", "stratified_sample", "training_order",
+    "bpe_merge_candidates", "bpe_learn_merges", "bpe_encode_stats",
+    "domain_mixture", "multimodal_features", "multimodal_frame_sample",
+]
+
+
+def _reorder_registries() -> None:
+    for reg in (SPARK_QUERIES, ORACLE_SQL):
+        orig = dict(reg)
+        reg.clear()
+        for name in _WITNESS_FIRST:
+            if name in orig:
+                reg[name] = orig.pop(name)
+        reg.update(orig)
+
+
+_reorder_registries()
