@@ -2492,6 +2492,13 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("cluster_id"))
 
 
+# bounded driver-side cap for the connected-components fast path: 200k
+# undirected edge rows ~ a few MB collected — the same bounded-collect
+# class as the IVF pivots / BPE argmax; beyond it the distributed
+# min-label loop runs (its state never touches the driver)
+_CC_LOCAL_EDGE_CAP = 200_000
+
+
 def propagate_min_labels(edges: DataFrame, max_rounds: int = 256) -> DataFrame:
     """Distributed connected components by min-label propagation over an
     edge list ``(a, b_)``. Returns ``(doc, label)`` with label = smallest
@@ -2519,6 +2526,36 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 256) -> DataFrame:
         edges.select(F.col("b_").alias("a"), F.col("a").alias("b_"))
     ).distinct().persist()
     n_edges = staged.count()
+    if n_edges <= _CC_LOCAL_EDGE_CAP:
+        # r6 small-graph fast path (the GraphFrames pattern): below a
+        # BOUNDED edge cap, collect and union-find on the driver —
+        # identical final labels (min node id per component), none of
+        # the per-round job/localCheckpoint overhead that dominated the
+        # converge loop at bench scale (measured 10.7 s for 8.9k
+        # edges). The distributed loop below remains the at-scale path.
+        rows = staged.collect()
+        staged.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r.a), find(r.b_)
+            if ra != rb:
+                # union by MIN so every root is its component's minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {r.a for r in rows}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        atype = dict(edges.dtypes)["a"]
+        return spark.createDataFrame(
+            out, f"doc {atype}, label {atype}")
     width = max(4, min(4 * spark.sparkContext.defaultParallelism,
                        (n_edges // 50_000) + 4))
     undirected = staged.repartition(width, "b_").localCheckpoint()
@@ -5920,18 +5957,56 @@ def bpe_token_counts(docs: DataFrame, merges: list) -> DataFrame:
     """Core of bpe_encode_stats over any (doc_id, text) frame: apply an
     ordered [(left_sym, right_sym)] merge table per word occurrence and
     count the resulting subword tokens (see bpe_encode_stats for the
-    wrapped-symbol encoding and scale shape)."""
-    def n_syms(w):
-        return F.size(_bpe_symbols(
-            _bpe_apply_chain(_bpe_wrap(w), merges))).cast("long")
+    wrapped-symbol encoding and scale shape).
 
-    words = F.filter(F.split("text", " "),
-                     lambda w: (w != "") & ~w.contains(_US))
-    return docs.select(
-        "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        F.aggregate(words, F.lit(0).cast("long"),
-                    lambda acc, w: acc + n_syms(w)).alias("n_bpe_tokens"))
+    r6 optimization (guide §4.2/§4.5): the merge chain used to run as
+    literal-replace expressions per word INSTANCE (~20 interpreted
+    string ops each). It now runs inside one Arrow-batched map with a
+    bounded per-task memo (lru_cache) keyed on the word — on a natural
+    corpus most instances are repeats, so the chain runs once per
+    distinct word per task and everything else is a dict hit. Still
+    ZERO shuffles, no joins, no vocabulary table. The Python chain is
+    operation-for-operation the expression chain: same wrapped
+    encoding, same ordered left-to-right non-overlapping replace
+    semantics (str.replace == Spark replace: both scan once,
+    continuing after each replacement), same btrim/split count —
+    pinned by test_sft_bpe_apply's differential and the DuckDB oracle,
+    which applies the merges via an independent vocabulary join."""
+    merge_pairs = [(str(a), str(b)) for a, b in merges]
+
+    def fn(batches):
+        from functools import lru_cache
+
+        import pandas as pd
+
+        @lru_cache(maxsize=1_000_000)
+        def n_syms(w: str) -> int:
+            enc = "".join(_US + ch + _US for ch in w)
+            for a, b in merge_pairs:
+                enc = enc.replace(f"{_US}{a}{_US}{_US}{b}{_US}",
+                                  f"{_US}{a}{b}{_US}")
+            return len(enc.strip(_US).split(_US + _US))
+
+        for pdf in batches:
+            n_words, n_bpe = [], []
+            for text in pdf["text"]:
+                if text is None:
+                    # size(null array) is null in the old expression
+                    n_words.append(None)
+                    n_bpe.append(None)
+                    continue
+                ws = [w for w in text.split(" ")
+                      if w != "" and _US not in w]
+                n_words.append(len(ws))
+                n_bpe.append(sum(n_syms(w) for w in ws))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_words": pd.array(n_words, dtype="Int64"),
+                "n_bpe_tokens": pd.array(n_bpe, dtype="Int64"),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, n_words long, n_bpe_tokens long")
 
 
 # Target mixture over the documents table's lang column (the "domain"

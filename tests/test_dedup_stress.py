@@ -97,13 +97,37 @@ def test_min_label_propagation_converges_past_15_rounds(spark):
     assert labels == {i: 0 for i in range(20)}
 
 
-def test_min_label_propagation_raises_instead_of_partial_labels(spark):
-    from material_parsers_spark.queries import propagate_min_labels
+def test_min_label_propagation_raises_instead_of_partial_labels(
+        spark, monkeypatch):
+    from material_parsers_spark import queries as q
 
+    # force the DISTRIBUTED loop (the r6 small-graph union-find fast
+    # path would otherwise solve this tiny graph exactly): the loop
+    # must still raise rather than return partial labels
+    monkeypatch.setattr(q, "_CC_LOCAL_EDGE_CAP", -1)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], "a bigint, b_ bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
-        propagate_min_labels(edges, max_rounds=2)
+        q.propagate_min_labels(edges, max_rounds=2)
+
+
+def test_min_label_fast_path_matches_distributed_loop(spark, monkeypatch):
+    """r6 focused test: the bounded union-find fast path and the
+    distributed min-label loop must produce identical labels on a graph
+    with multiple components, a long path, and a star."""
+    from material_parsers_spark import queries as q
+
+    raw = ([(i, i + 1) for i in range(25)]           # path 0..25
+           + [(100, j) for j in range(101, 140)]     # star at 100
+           + [(200, 201), (202, 201), (203, 202)])   # small tree
+    edges = spark.createDataFrame(raw, "a bigint, b_ bigint")
+    fast = {r.doc: r.label
+            for r in q.propagate_min_labels(edges).collect()}
+    monkeypatch.setattr(q, "_CC_LOCAL_EDGE_CAP", -1)
+    dist = {r.doc: r.label
+            for r in q.propagate_min_labels(edges).collect()}
+    assert fast == dist
+    assert fast[25] == 0 and fast[139] == 100 and fast[203] == 200
 
 
 def test_minhash_components_cover_the_full_cluster(spark, stress_dir):
