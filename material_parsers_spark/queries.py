@@ -303,7 +303,11 @@ def web_adversarial_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         wrap_docs_in_adversarial_html,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # r6: spread the raw docs before the Arrow scanner stage — a
+    # single-file parquet scan would run the Python main-content
+    # scanner on 1-2 cores (guide §2.5)
+    docs = (_read(spark, sf_dir, "documents").select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
     wrapped = wrap_docs_in_adversarial_html(docs)
     return (
         extract_main_content(wrapped)
@@ -3079,12 +3083,11 @@ def hll_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 optimization (guide §2.3/§2.4): register bucket and rho are
     functions of the gram STRING, so max over duplicate instances
     equals max over distincts — the registers are now computed from
-    the same distinct-gram frame the exact baseline counts. The two
-    branches share one identical distinct subtree, so ReuseExchange
-    runs the n-gram sweep and the gram exchange ONCE (the old plan
-    paid the sweep twice: once under the register hash, once under
-    count_distinct), and the raw docs are repartitioned before the
-    sweep so a single-file scan cannot serialize it."""
+    the same distinct-gram subtree the exact baseline counts (the
+    old plan hashed every RAW gram instance under the register
+    aggregate; the identical distinct exchanges are also eligible
+    for AQE stage reuse), and the raw docs are repartitioned before
+    the sweep so a single-file scan cannot serialize it."""
     docs = _read(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
     grams = (_ngrams_df(docs.repartition(parallelism), 13)

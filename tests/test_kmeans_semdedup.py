@@ -112,3 +112,20 @@ def test_semdedup_marks_near_duplicates_lowest_id_survives(emb_dir):
     # the global minimum id of each blob can never be marked dup
     for survivor in (0, 1, 2):
         assert survivor not in rows
+
+
+def test_kmeans_large_k_has_constant_size_plan(spark):
+    """VERDICT r5 ask #6: beyond a few hundred clusters the old
+    inlined-literal assignment exploded the plan (k x d literals per
+    pass). The r6 NumPy assignment ships centroids in the task closure,
+    so the physical plan stays constant-size at any k. k=64 over a
+    fixture whose init ids 200..263 exist."""
+    rows = [(i, [float((i * 7 + d) % 13) / 13 for d in range(8)], 0)
+            for i in range(400)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    out = kmeans_assign(emb, k=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 20_000       # the old literal plan grew ~O(k*d)
+    assert out.count() == 400
+    assert out.select("cluster").distinct().count() > 1

@@ -91,7 +91,9 @@ def main() -> None:
     turn_levels = [40_000, 400_000] if quick else [400_000, 4_000_000]
     doc_replicas = [1, 2] if quick else [1, 10]
 
-    def timed(fn, reps: int = 2) -> tuple:
+    def timed(fn, reps: int = 3) -> tuple:
+        # min-of-3 per level (r6: VERDICT r5 ask #4 — the r5 record's
+        # extraction ratio rested on min-of-2 at a degraded window)
         samples = []
         for _ in range(reps):
             start = time.time()
