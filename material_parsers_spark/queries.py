@@ -4630,18 +4630,69 @@ SELECT q_id, vec_id, cosine FROM (
   FROM scored) WHERE rn <= 3
 """)
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the query vectors, JVM-side dot
-    product via zip_with/aggregate (no Python in the loop)."""
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    joined = F.broadcast(queries).crossJoin(emb) \
-        .where(F.col("vec_id") != F.col("q_id"))
+    """Brute-force cosine top-k baseline.
 
-    cosine = F.round(
-        _dot(F.col("q_vec"), F.col("embedding"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("embedding"))), 6)
-    scored = joined.select("q_id", "vec_id", cosine.alias("cosine"))
+    r6 optimization (guide §4.2): the N x 5 interpreted fold
+    expressions move into one Arrow-batched map computing EXACT
+    left-fold cosines (dimension-axis accumulation — see
+    _fold_dot_np) rounded via _round6_half_up_np; each task emits only
+    its per-query top-3 candidates (exact rounded values, so the
+    cross-task ranking is unchanged), and a tiny window over
+    tasks x 15 rows picks the global top-3 with the identical
+    (cosine desc, vec_id asc) order. Query vectors are a bounded
+    driver collect, like the IVF pivots."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+    q_ids = [int(r.vec_id) for r in qrows]
+    q_vecs = [[float(x) for x in r.embedding] for r in qrows]
+
+    def score_fn(batches):
+        import math
+        import numpy as np
+        import pandas as pd
+        qv = [np.asarray(v, dtype=np.float64) for v in q_vecs]
+        qnorms = []
+        for v in qv:
+            acc = 0.0
+            for x in v.tolist():
+                acc += x * x
+            qnorms.append(math.sqrt(acc))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            vec_ids = pdf["vec_id"].to_numpy()
+            enorm = np.sqrt(_fold_sqnorm_np(mat))
+            out_q, out_v, out_c = [], [], []
+            for qi, v in enumerate(qv):
+                denom = enorm * qnorms[qi]
+                cos = _round6_half_up_np(_fold_dot_np(mat, v) / denom)
+                mask = vec_ids != q_ids[qi]
+                cand_ids = vec_ids[mask]
+                cand_cos = cos[mask]
+                # per-batch top-3 by (cosine desc, vec_id asc): sort by
+                # vec_id first, then stable-sort by -cosine. NaN maps
+                # to +inf in the sort key (Spark's desc window orders
+                # NaN above every numeric)
+                key = np.where(np.isnan(cand_cos), np.inf, cand_cos)
+                order = np.argsort(cand_ids, kind="stable")
+                order = order[np.argsort(-key[order],
+                                         kind="stable")][:3]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_v.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            yield pd.DataFrame({
+                "q_id": pd.Series(out_q, dtype="int64"),
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "cosine": pd.Series(out_c, dtype="float64"),
+            })
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score_fn, "q_id long, vec_id long, cosine double")
     window = Window.partitionBy("q_id").orderBy(
         F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rn", F.row_number().over(window))

@@ -27,7 +27,7 @@ PYTHON_ALLOWED = {
     # half-boundary rechecks) — pinned by the oracle gate
     "kmeans_embeddings", "semdedup_embedding",
     "similarity_ann_lsh", "similarity_ivf", "similarity_pq",
-    "similarity_recall_report",
+    "similarity_topk", "similarity_recall_report",
     # r6: BPE apply memoizes the merge chain per task behind Arrow
     # (still zero-shuffle; see test_bpe_apply_is_a_zero_shuffle_map)
     "bpe_encode_stats",
