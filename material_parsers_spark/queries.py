@@ -1967,26 +1967,65 @@ feats AS (
 def _hashed_ngram_feats(docs: DataFrame) -> DataFrame:
     """(doc_id, is_eval, bucket, c): per-document hashed unigram +
     bigram counts into {_DSIR_BUCKETS} buckets (Spark twin of
-    _FEATS_CTES)."""
+    _FEATS_CTES).
+
+    r6 optimization (guide §4.2/§4.5): the old plan exploded every
+    gram instance, md5-hashed each one, and paid a
+    (doc, is_eval, bucket) aggregate exchange. The featurizer is now
+    one Arrow-batched map with per-task memoized hashing (the 60-bit
+    md5 prefix reproduced bit-for-bit with hashlib) and an in-row
+    Counter — per-doc bucket counts complete inside the map, so the
+    aggregate exchange disappears and repeated grams hash once per
+    task. Identical rows: same buckets (same md5 family), same exact
+    integer counts, same (doc absent when text is null) universe."""
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
-    w = F.col("w")
-    cnt = F.greatest(F.size(w) - 1, F.lit(0))
-    bigrams = F.zip_with(F.slice(w, 1, cnt), F.slice(w, 2, cnt),
-                         lambda a, b: F.concat_ws(" ", a, b))
-    is_eval = _h(F.col("doc_id").cast("string")) % 20 == 0
-    return (
-        docs.select("doc_id", F.split("text", " ").alias("w"),
-                    is_eval.alias("is_eval"))
-        .repartition(parallelism, "doc_id")
-        .select("doc_id", "is_eval",
-                F.explode(F.concat(w, bigrams)).alias("gram"))
-        .select("doc_id", "is_eval",
-                F.pmod(_h(F.col("gram")), F.lit(_DSIR_BUCKETS))
-                .alias("bucket"))
-        .groupBy("doc_id", "is_eval", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+
+    def fn(batches):
+        import hashlib
+        from collections import Counter
+        from functools import lru_cache
+
+        import pandas as pd
+
+        @lru_cache(maxsize=1_000_000)
+        def bucket(gram: str) -> int:
+            return int(hashlib.md5(gram.encode("utf-8"))
+                       .hexdigest()[:15], 16) % _DSIR_BUCKETS
+
+        @lru_cache(maxsize=100_000)
+        def is_ev(doc_id: int) -> bool:
+            return int(hashlib.md5(str(doc_id).encode("utf-8"))
+                       .hexdigest()[:15], 16) % 20 == 0
+
+        for pdf in batches:
+            od, oe, ob, oc = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue   # explode(null grams) emitted no rows
+                ws = text.split(" ")   # keeps empty words, like split
+                counts = Counter()
+                for word in ws:
+                    counts[bucket(word)] += 1
+                for i in range(len(ws) - 1):
+                    counts[bucket(ws[i] + " " + ws[i + 1])] += 1
+                ev = is_ev(int(doc_id))
+                for b, c in counts.items():
+                    od.append(doc_id)
+                    oe.append(ev)
+                    ob.append(b)
+                    oc.append(c)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(od, dtype="int64"),
+                "is_eval": pd.Series(oe, dtype="bool"),
+                "bucket": pd.Series(ob, dtype="int64"),
+                "c": pd.Series(oc, dtype="int64"),
+            })
+
+    return (docs.select("doc_id", "text")
+            .repartition(parallelism, "doc_id")
+            .mapInPandas(
+                fn, "doc_id long, is_eval boolean, bucket long, c long"))
 
 
 @_register("dsir_importance_weights", f"""
@@ -3546,44 +3585,92 @@ def _rk_word_channels(words_col):
     return wa, wb
 
 
-def _rk_fold(wa, wb, n: int):
-    """(gram_h bigint array) of positional n-gram rolling hashes from
-    the channel arrays — the arithmetic twin of _ngrams_df's zip_with
-    shape (every lambda argument-bound, per the CollapseProject rule).
-    CALLER CONTRACT: wa/wb must come from behind a Generate barrier
-    (an explode), or CollapseProject inlines the per-word md5
-    transform into every one of the n slice references."""
-    cnt = F.greatest(F.size(wa) - (n - 1), F.lit(0))
-
-    def chan(arr, base):
-        acc = F.slice(arr, 1, cnt)
-        for k in range(2, n + 1):
-            acc = F.zip_with(acc, F.slice(arr, k, cnt),
-                             lambda a, b: (a * base + b) % _RK_M)
-        return acc
-
-    return F.zip_with(chan(wa, _RK_B1), chan(wb, _RK_B2),
-                      lambda a, b: a * (_RK_M + 1) + b)
-
-
 def _rk_gram_occ(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, pos, gram_h) positional rolling-hash n-gram stream.
     The word-hash projection sits behind a single-element explode —
     a Generate node Catalyst cannot collapse a downstream Project
     into — so each word is md5-hashed exactly twice per document
-    (once per channel), not 2n times."""
+    (once per channel), not 2n times.
+
+    r6 optimization (guide §1.2): the per-channel polynomial fold used
+    to chain n-1 interpreted zip_with steps; it now DOUBLES —
+    h_{2k}(i) = (h_k(i) * B^k + h_k(i+k)) mod M, composing n from its
+    binary decomposition — O(log n) steps, each level materialized
+    behind a Generate barrier (same fence as _ngrams_df). Modular
+    int64 arithmetic is exact, so the residues are identical to the
+    linear chain (and to the oracle's unrolled fold) by the mod
+    homomorphism; intermediates stay < 2^62."""
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     w = F.split("text", " ")
     wa, wb = _rk_word_channels(w)
-    hashed = (
+    frame = (
         docs.where(F.size(w) >= n)
         .repartition(parallelism, "doc_id")
         .select("doc_id", F.explode(F.array(F.struct(
-            wa.alias("wa"), wb.alias("wb")))).alias("z"))
+            wa.alias("a1"), wb.alias("b1")))).alias("z"))
+        .select("doc_id", F.col("z.a1").alias("a1"),
+                F.col("z.b1").alias("b1"))
     )
-    grams = _rk_fold(F.col("z.wa"), F.col("z.wb"), n)
-    return hashed.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram_h"))
+    levels = {1: ("a1", "b1")}
+    width = 2
+    while width <= n:
+        half = width // 2
+        ah, bh = levels[half]
+        p1 = pow(_RK_B1, half, _RK_M)
+        p2 = pow(_RK_B2, half, _RK_M)
+        m = F.greatest(F.size(F.col("a1")) - (width - 1), F.lit(0))
+        ga = F.zip_with(F.slice(F.col(ah), 1, m),
+                        F.slice(F.col(ah), 1 + half, m),
+                        lambda x, y: (x * p1 + y) % _RK_M)
+        gb = F.zip_with(F.slice(F.col(bh), 1, m),
+                        F.slice(F.col(bh), 1 + half, m),
+                        lambda x, y: (x * p2 + y) % _RK_M)
+        na, nb = f"a{width}", f"b{width}"
+        keep = [c for pair in levels.values() for c in pair]
+        frame = (frame.select(
+            "doc_id", F.explode(F.array(F.struct(
+                *[F.col(c).alias(c) for c in keep],
+                ga.alias(na), gb.alias(nb)))).alias("z"))
+            .select("doc_id",
+                    *[F.col(f"z.{c}").alias(c) for c in keep],
+                    F.col(f"z.{na}").alias(na),
+                    F.col(f"z.{nb}").alias(nb)))
+        levels[width] = (na, nb)
+        width *= 2
+
+    parts, offset, remaining = [], 0, n
+    for w_ in sorted(levels, reverse=True):
+        while w_ <= remaining:
+            parts.append((w_, offset))
+            offset += w_
+            remaining -= w_
+    cnt = F.greatest(F.size(F.col("a1")) - (n - 1), F.lit(0))
+    (w0, off0) = parts[0]
+    acc_a = F.slice(F.col(levels[w0][0]), 1 + off0, cnt)
+    acc_b = F.slice(F.col(levels[w0][1]), 1 + off0, cnt)
+    def _combine(p):
+        # factory so the lambda keeps exactly two parameters (PySpark
+        # derives the HOF arity from the signature)
+        return lambda x, y: (x * p + y) % _RK_M
+
+    for w_, off in parts[1:]:
+        p1 = pow(_RK_B1, w_, _RK_M)
+        p2 = pow(_RK_B2, w_, _RK_M)
+        acc_a = F.zip_with(acc_a, F.slice(F.col(levels[w_][0]),
+                                          1 + off, cnt),
+                           _combine(p1))
+        acc_b = F.zip_with(acc_b, F.slice(F.col(levels[w_][1]),
+                                          1 + off, cnt),
+                           _combine(p2))
+    grams = F.zip_with(acc_a, acc_b,
+                       lambda a, b: a * (_RK_M + 1) + b)
+    # final barrier: the posexplode's inferred size() filter and the
+    # pos/gram projection read a materialized array
+    sealed = (frame.select("doc_id", F.explode(F.array(F.struct(
+                  grams.alias("grams")))).alias("zf"))
+              .select("doc_id", F.col("zf.grams").alias("grams")))
+    return sealed.select(
+        "doc_id", F.posexplode("grams").alias("pos", "gram_h"))
 
 
 _RK_CHANNELS_SQL = f"""
@@ -3594,7 +3681,7 @@ _RK_CHANNELS_SQL = f"""
 
 
 def _rk_fold_sql(n: int) -> str:
-    """DuckDB mirror of _rk_fold: the two-channel fold unrolled over
+    """DuckDB mirror of _rk_gram_occ's fold: the two-channel chain unrolled over
     wa[i]..wa[i+n-1] (1-based i), usable wherever `wa`, `wb` and a
     lateral gram index `i` are in scope."""
     def chan(arr: str, base: int) -> str:
@@ -3629,7 +3716,7 @@ def dedup_substrings(docs: DataFrame, n: int = 25,
 
     Scale shape (100 TB verdict): only (doc_id, pos, gram_h) triples
     cross a shuffle — never gram text; gram hashes are two-channel
-    Rabin-Karp rolling hashes over per-word md5s (see _rk_fold), so
+    Rabin-Karp rolling hashes over per-word md5s (see _rk_gram_occ), so
     the sweep hashes each word once instead of md5-ing every
     materialized ~150-byte gram window (~10x less hashing, zero gram
     string construction). Per-gram state is (min occ_key,

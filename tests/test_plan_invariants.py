@@ -31,6 +31,9 @@ PYTHON_ALLOWED = {
     # r6: BPE apply memoizes the merge chain per task behind Arrow
     # (still zero-shuffle; see test_bpe_apply_is_a_zero_shuffle_map)
     "bpe_encode_stats",
+    # r6: the shared hashed-ngram featurizer memoizes its md5 buckets
+    # per task and completes per-doc counts in-row (exact integers)
+    "dsir_importance_weights", "quality_classifier",
 }
 
 
