@@ -5567,7 +5567,11 @@ def _semdedup_cluster_fn(tau: float):
         first = np.full(n, -1, dtype=np.int64)
         cnt = np.zeros(n, dtype=np.int64)
         rows = np.arange(n)
-        block = 2048   # bounds the cosine block at n x 2048 doubles
+        # column-block size adapts to the cluster so the n x block
+        # cosine buffer stays ~256 MB at any membership (the driver
+        # escalates SF when the suite is fast — a fixed 2048 would
+        # make the buffer grow linearly with cluster size)
+        block = max(128, min(2048, (1 << 25) // n))
         for j0 in range(0, n, block):
             j1 = min(j0 + block, n)
             cos = mat @ mat[j0:j1].T
