@@ -2535,11 +2535,11 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("cluster_id"))
 
 
-# bounded driver-side cap for the connected-components fast path: 200k
-# undirected edge rows ~ a few MB collected — the same bounded-collect
-# class as the IVF pivots / BPE argmax; beyond it the distributed
-# min-label loop runs (its state never touches the driver)
-_CC_LOCAL_EDGE_CAP = 200_000
+# bounded driver-side cap for the connected-components fast path: 1M
+# undirected edge rows ~ 16 MB through the Arrow collect — the same
+# bounded-collect class as the IVF pivots / BPE argmax; beyond it the
+# distributed min-label loop runs (its state never touches the driver)
+_CC_LOCAL_EDGE_CAP = 1_000_000
 
 
 def propagate_min_labels(edges: DataFrame, max_rounds: int = 256) -> DataFrame:
@@ -2571,12 +2571,13 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 256) -> DataFrame:
     n_edges = staged.count()
     if n_edges <= _CC_LOCAL_EDGE_CAP:
         # r6 small-graph fast path (the GraphFrames pattern): below a
-        # BOUNDED edge cap, collect and union-find on the driver —
-        # identical final labels (min node id per component), none of
-        # the per-round job/localCheckpoint overhead that dominated the
+        # BOUNDED edge cap, collect (via Arrow — two narrow columns,
+        # ~16 MB at the cap) and union-find on the driver — identical
+        # final labels (min node id per component), none of the
+        # per-round job/localCheckpoint overhead that dominated the
         # converge loop at bench scale (measured 10.7 s for 8.9k
         # edges). The distributed loop below remains the at-scale path.
-        rows = staged.collect()
+        pdf = staged.toPandas()
         staged.unpersist()
         parent: dict = {}
 
@@ -2588,14 +2589,14 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 256) -> DataFrame:
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
-            ra, rb = find(r.a), find(r.b_)
+        a_vals = pdf["a"].tolist()
+        for xa, xb in zip(a_vals, pdf["b_"].tolist()):
+            ra, rb = find(xa), find(xb)
             if ra != rb:
                 # union by MIN so every root is its component's minimum
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        nodes = {r.a for r in rows}
-        out = [(n, find(n)) for n in sorted(nodes)]
+        out = [(node, find(node)) for node in sorted(set(a_vals))]
         atype = dict(edges.dtypes)["a"]
         return spark.createDataFrame(
             out, f"doc {atype}, label {atype}")
